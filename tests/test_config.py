@@ -1,0 +1,55 @@
+import argparse
+import os
+
+from upnerf import config as cfg
+
+
+def test_default_loads_flat_keys():
+    c = cfg.default()
+    assert c["nerf.N_samples"] == 128
+    assert c["nerf.N_importance"] == 128
+    assert c["optimizer.lr"] == 5e-4
+    assert c["optimizer.scheduler.lr_end"] == 5e-5
+    assert c["pose.c2f"] == (0.1, 0.5)
+    assert c["candidate_schedule"] == (0.1, 0.5)
+    assert c["pose.noise"] == -1
+    assert c["resume_ckpt"] is None
+
+
+def test_literal_eval_and_tuples(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a: '1e-3'\nb: '[1, 2]'\nc: hello\nd:\n  e: '2'\n")
+    c = cfg.load(str(p))
+    assert c["a"] == 1e-3
+    assert c["b"] == (1, 2)
+    assert c["c"] == "hello"
+    assert c["d.e"] == 2
+
+
+def test_merge_from_list_unchecked():
+    c = {"x.y": 1}
+    cfg.merge_from_list(c, ["x.y", "5", "new.key", "[0.1,0.5]"])
+    assert c["x.y"] == 5
+    assert c["new.key"] == (0.1, 0.5)
+
+
+def test_parse_cli_and_save_roundtrip(tmp_path):
+    scene = tmp_path / "scene.yaml"
+    scene.write_text("scene_name: foo\nnerf:\n  N_samples: 16\n")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    c = cfg.parse_cli(parser, ["--config", str(scene), "train.batch_size", "64"])
+    assert c["scene_name"] == "foo"
+    assert c["nerf.N_samples"] == 16
+    assert c["train.batch_size"] == 64
+    # argparse attrs not already present are added (configs/config.py:70-73)
+    assert c["config"] == str(scene)
+
+    out = tmp_path / "resolved.yaml"
+    cfg.save_yaml(c, str(out))
+    c2 = cfg.get_from_path(str(out))
+    assert c2["scene_name"] == "foo"
+    assert c2["nerf.N_samples"] == 16
+    assert c2["pose.c2f"] == (0.1, 0.5)
+    assert os.path.exists(out)

@@ -1,0 +1,261 @@
+"""Coarse+fine UP-NeRF volume renderer as one pure jit-friendly function.
+
+Redesign of the reference render_rays (models/rendering.py:53-314):
+
+- The schedule phase (candidate-only / blended / rgb-only) is a *static*
+  argument; each phase is its own dead-code-free XLA program
+  (the reference branches in Python on sched_mult at every call,
+  models/rendering.py:133,195,268-298).
+- Importance sampling draws a fixed N_importance from the mixture CDF
+  (1 - m) * c_weights + m * s_weights instead of a dynamically-split pair of
+  sample sets (models/rendering.py:276-290) — endpoint-identical and
+  shape-static (intentional deviation, SURVEY.md §7.1 item 2).
+- All randomness is explicit PRNG keys; det mode reproduces the reference's
+  perturb=0 eval path (models/rendering.py:25-27).
+
+Gradient-stopping placement matches the reference exactly: ray directions
+are detached as MLP inputs (models/rendering.py:104-106), importance-weights
+are detached (models/rendering.py:271,280,302-306).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from upnerf.models.nerf import NeRFConfig, apply_nerf
+
+from . import volume
+from .sampling import sample_pdf, stratified_z_vals
+
+
+class RenderConfig(NamedTuple):
+    """Static rendering hyperparameters."""
+
+    N_samples: int = 128
+    N_importance: int = 128
+    use_disp: bool = False
+    perturb: float = 1.0
+    encode_feat: bool = True
+    precision: str = "high"
+
+    @classmethod
+    def from_hparams(cls, hp: Dict[str, Any]) -> "RenderConfig":
+        return cls(
+            N_samples=hp["nerf.N_samples"],
+            N_importance=hp["nerf.N_importance"],
+            use_disp=hp["nerf.use_disp"],
+            perturb=hp["nerf.perturb"],
+            encode_feat=hp["nerf.feat_dim"] > 0,
+            precision=hp.get("tpu.matmul_precision", "high"),
+        )
+
+
+def _inference(
+    results: Dict[str, jnp.ndarray],
+    nerf_params: Dict[str, Any],
+    nerf_cfg: NeRFConfig,
+    typ: str,
+    xyz: jnp.ndarray,  # (R, S, 3)
+    z_vals: jnp.ndarray,  # (R, S)
+    rays_d: jnp.ndarray,  # (R, 3)
+    a_emb: Optional[jnp.ndarray],  # (R, A)
+    c_emb: Optional[jnp.ndarray],  # (R, C)
+    *,
+    phase: int,
+    sched_mult: jnp.ndarray,
+    progress: jnp.ndarray,
+    encode_candidate: bool,
+    precision: str,
+) -> None:
+    """One NeRF evaluation + compositing pass (models/rendering.py:86-219).
+
+    Mutates `results` with keys suffixed by `typ` ('coarse' | 'fine').
+    """
+    R, S = z_vals.shape
+    inputs = {
+        "input_xyz": xyz,
+        # Directions are detached as MLP inputs: pose gradients flow only
+        # through sample positions (models/rendering.py:104-106).
+        "input_dir": jnp.broadcast_to(
+            jax.lax.stop_gradient(rays_d)[:, None, :], (R, S, 3)
+        ),
+    }
+    if nerf_cfg.encode_appearance:
+        inputs["input_a"] = jnp.broadcast_to(
+            a_emb[:, None, :], (R, S, a_emb.shape[-1])
+        )
+    if nerf_cfg.encode_candidate and encode_candidate:
+        inputs["input_c"] = jnp.broadcast_to(
+            c_emb[:, None, :], (R, S, c_emb.shape[-1])
+        )
+
+    out = apply_nerf(
+        nerf_params,
+        nerf_cfg,
+        inputs,
+        phase=phase,
+        sched_mult=sched_mult,
+        progress=progress,
+        encode_candidate=encode_candidate,
+        precision=precision,
+    )
+    # out values have shape (R, S) for sigmas, (R, S, C) for feat/rgb.
+
+    deltas = volume.deltas_from_z(z_vals)
+    s_alphas = volume.alpha_from_sigma(out["s_sigma"], deltas)
+
+    use_candidate = nerf_cfg.encode_candidate and encode_candidate and phase < 2
+    if phase < 2:
+        if not use_candidate:
+            # No candidate head: composite static density only
+            # (models/rendering.py:134-150).
+            weights = volume.composite_weights(s_alphas)
+            results[f"s_weights_{typ}"] = weights
+            if nerf_cfg.encode_feat:
+                results[f"feat_{typ}"] = volume.weighted_sum(weights, out["s_feat"])
+            else:
+                raise NotImplementedError(
+                    "feature-less candidate-free phase<2 has no reference path"
+                )
+        else:
+            # Joint static+candidate compositing (models/rendering.py:152-194).
+            c_alphas = volume.alpha_from_sigma(out["c_sigma"], deltas)
+            joint_alphas = volume.alpha_from_sigma(
+                out["s_sigma"] + out["c_sigma"], deltas
+            )
+            transmittance = volume.transmittance_of(joint_alphas)
+            s_weights = s_alphas * transmittance
+            c_weights = c_alphas * transmittance
+            weights = joint_alphas * transmittance
+            results[f"c_weights_{typ}"] = weights
+            results[f"c_depth_{typ}"] = volume.depth_map(weights, z_vals)
+            if nerf_cfg.encode_feat:
+                results[f"feat_{typ}"] = volume.weighted_sum(
+                    s_weights, out["s_feat"]
+                ) + volume.weighted_sum(c_weights, out["c_feat"])
+            else:
+                results[f"c_rgb_{typ}"] = volume.weighted_sum(
+                    s_weights, out["s_rgb"]
+                ) + volume.weighted_sum(c_weights, out["c_rgb"])
+            results[f"t_weight_{typ}"] = c_weights.sum(-1)
+
+    if phase > 0:
+        # Static-only compositing for the shared RGB output
+        # (models/rendering.py:195-209).
+        only_s_weights = volume.composite_weights(s_alphas)
+        results[f"s_weights_{typ}"] = only_s_weights
+        results[f"s_rgb_{typ}"] = volume.weighted_sum(only_s_weights, out["s_rgb"])
+
+    # Static-only expected depth, always (models/rendering.py:211-218).
+    only_s_weights = volume.composite_weights(s_alphas)
+    results[f"s_depth_{typ}"] = volume.depth_map(only_s_weights, z_vals)
+
+
+def render_rays(
+    params: Dict[str, Any],
+    cfg: RenderConfig,
+    nerf_cfg: NeRFConfig,
+    rays: jnp.ndarray,  # (R, 8): o, d, near, far
+    img_idx: jnp.ndarray,  # (R,) int
+    *,
+    key: Optional[jax.Array],
+    phase: int,
+    sched_mult: jnp.ndarray,
+    progress: jnp.ndarray,
+    encode_candidate: bool = True,
+    det: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Render a ray batch (models/rendering.py:53-314).
+
+    params: {"nerf_coarse", "nerf_fine", "embeddings": {"coarse_a",
+    "fine_a", "coarse_c", "fine_c"}} — embeddings are (N_images, dim) tables
+    gathered by img_idx (models/rendering.py:256-258, 309-312).
+    det=True gives the deterministic eval path (no perturb, linspace CDF
+    samples).
+    """
+    R = rays.shape[0]
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    emb = params["embeddings"]
+
+    if key is None:
+        det = True
+    k_coarse, k_fine = (
+        jax.random.split(key) if key is not None else (None, None)
+    )
+
+    z_vals = stratified_z_vals(
+        k_coarse,
+        near,
+        far,
+        cfg.N_samples,
+        use_disp=cfg.use_disp,
+        perturb=0.0 if det else cfg.perturb,
+    )
+    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    results: Dict[str, jnp.ndarray] = {}
+
+    def emb_for(prefix: str, name: str):
+        table = emb.get(f"{prefix}_{name}")
+        return None if table is None else table[img_idx]
+
+    _inference(
+        results,
+        params["nerf_coarse"],
+        nerf_cfg,
+        "coarse",
+        xyz_coarse,
+        z_vals,
+        rays_d,
+        emb_for("coarse", "a"),
+        emb_for("coarse", "c"),
+        phase=phase,
+        sched_mult=sched_mult,
+        progress=progress,
+        encode_candidate=encode_candidate,
+        precision=cfg.precision,
+    )
+
+    if cfg.N_importance > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])  # (R, S-1)
+        use_candidate = nerf_cfg.encode_candidate and encode_candidate
+        if use_candidate and phase == 0:
+            w_src = results["c_weights_coarse"]
+        elif use_candidate and phase == 1:
+            # Mixture CDF replaces the dynamic sample split
+            # (models/rendering.py:276-290); see module docstring.
+            w_src = (1.0 - sched_mult) * results["c_weights_coarse"] + (
+                sched_mult * results["s_weights_coarse"]
+            )
+        else:
+            w_src = results["s_weights_coarse"]
+        z_samples = sample_pdf(
+            k_fine,
+            z_mid,
+            jax.lax.stop_gradient(w_src[:, 1:-1]),
+            cfg.N_importance,
+            det=det,
+        )
+        z_fine = volume.merge_sorted_z(z_vals, z_samples)
+        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_fine[..., None]
+        _inference(
+            results,
+            params["nerf_fine"],
+            nerf_cfg,
+            "fine",
+            xyz_fine,
+            z_fine,
+            rays_d,
+            emb_for("fine", "a"),
+            emb_for("fine", "c"),
+            phase=phase,
+            sched_mult=sched_mult,
+            progress=progress,
+            encode_candidate=encode_candidate,
+            precision=cfg.precision,
+        )
+    return results

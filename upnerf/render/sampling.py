@@ -1,0 +1,94 @@
+"""Depth sampling along rays: stratified coarse + inverse-CDF importance.
+
+Static-shape, PRNG-threaded redesign of the reference samplers
+(models/rendering.py:7-50, 232-249). The schedule-dependent *dynamic* split
+of importance samples between the candidate and static weight distributions
+(s_N_importance = round(sched_mult * N_importance),
+models/rendering.py:276-290) is replaced by sampling a fixed N_importance
+from the *mixture* CDF (1 - m) * c_weights + m * w_static — identical at the
+phase endpoints m = 0 / m = 1 and shape-static in between (intentional
+deviation, SURVEY.md §7.1 item 2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_z_vals(
+    key: Optional[jax.Array],
+    near: jnp.ndarray,  # (N_rays, 1)
+    far: jnp.ndarray,  # (N_rays, 1)
+    N_samples: int,
+    use_disp: bool = False,
+    perturb: float = 0.0,
+) -> jnp.ndarray:
+    """Coarse depth samples, (N_rays, N_samples) (models/rendering.py:232-249).
+
+    Linear in depth (or disparity), optionally jittered uniformly within
+    mid-point intervals. `key=None` or `perturb=0` gives the deterministic
+    grid (golden-test path).
+    """
+    z_steps = jnp.linspace(0.0, 1.0, N_samples)  # (S,)
+    if not use_disp:
+        z_vals = near * (1 - z_steps) + far * z_steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1 - z_steps) + 1.0 / far * z_steps)
+    N_rays = near.shape[0]
+    z_vals = jnp.broadcast_to(z_vals, (N_rays, N_samples))
+
+    if perturb > 0 and key is not None:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([z_mid, z_vals[:, -1:]], -1)
+        lower = jnp.concatenate([z_vals[:, :1], z_mid], -1)
+        u = perturb * jax.random.uniform(key, z_vals.shape)
+        z_vals = lower + (upper - lower) * u
+    return z_vals
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jnp.ndarray,  # (N_rays, M+1) bin edges
+    weights: jnp.ndarray,  # (N_rays, M)
+    N_importance: int,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling (models/rendering.py:7-50).
+
+    Weights are detached by the caller; the +eps floor and the denom == 0
+    guard match models/rendering.py:20,42-45. det=True uses a linspace grid
+    (eval path); otherwise uniform draws from `key`.
+    """
+    N_rays, M = weights.shape
+    weights = weights + eps
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], -1)  # (N_rays, M+1)
+
+    if det or key is None:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, N_importance), (N_rays, N_importance)
+        )
+    else:
+        u = jax.random.uniform(key, (N_rays, N_importance))
+
+    # Per-row searchsorted; 'sort' lowers to a single concatenated argsort,
+    # which maps onto the TPU sort unit far better than a per-query scan.
+    inds = jax.vmap(
+        lambda c, q: jnp.searchsorted(c, q, side="right", method="sort")
+    )(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, M)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, -1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, -1)
+    bins_g0 = jnp.take_along_axis(bins, below, -1)
+    bins_g1 = jnp.take_along_axis(bins, above, -1)
+
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_g0 + (u - cdf_g0) / denom * (bins_g1 - bins_g0)
