@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from upnerf.parallel import batch_sharding, make_mesh, replicated_sharding
+from upnerf.train import make_train_step
+from upnerf.train.step import gather_batch
+
+from helpers import tiny_scene, tiny_state, tiny_step_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_step_config()
+    scene, store = tiny_scene()
+    state, opt, pose_opt = tiny_state(cfg)
+    step, batch_step = make_train_step(cfg, opt, pose_opt)
+    return cfg, scene, store, state, step, batch_step
+
+
+class TestTrainStep:
+    @pytest.mark.parametrize("phase", [0, 1, 2])
+    def test_runs_all_phases(self, setup, phase):
+        cfg, scene, store, state, step, _ = setup
+        new_state, metrics = step(state, scene, store, jax.random.PRNGKey(0), phase)
+        assert int(new_state.step) == int(state.step) + 1
+        assert np.isfinite(float(metrics["loss"]))
+        expected = {
+            0: {"loss/l_depth_c", "loss/l_feat_c", "loss/l_depth_f", "loss/l_feat_f"},
+            1: {"loss/l_depth_c", "loss/l_feat_c", "loss/l_depth_f", "loss/l_feat_f",
+                "loss/l_rgb_c", "loss/l_rgb_f", "loss/l_beta", "loss/l_alpha"},
+            2: {"loss/l_rgb_c", "loss/l_rgb_f", "loss/l_beta", "loss/l_alpha"},
+        }[phase]
+        assert expected <= set(metrics)
+
+    def test_loss_decreases_phase0(self, setup):
+        cfg, scene, store, state, step, _ = setup
+        losses = []
+        s = state
+        for i in range(12):
+            s, m = step(s, scene, store, jax.random.PRNGKey(i), 0)
+            losses.append(float(m["loss"]))
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+    def test_pose_params_update_only_when_optimizing(self, setup):
+        cfg, scene, store, state, step, _ = setup
+        s1, _ = step(state, scene, store, jax.random.PRNGKey(0), 1)
+        # depth_scale feeds the depth loss -> nonzero grad -> it must move
+        assert np.abs(np.asarray(s1.pose_params["depth_scale"])).max() > 0
+        assert np.abs(np.asarray(s1.pose_params["se3"])).max() > 0
+
+        cfg_np = tiny_step_config(pose_optimize=False)
+        state_np, opt, pose_opt = tiny_state(cfg_np)
+        step_np, _ = make_train_step(cfg_np, opt, pose_opt)
+        s2, _ = step_np(state_np, scene, store, jax.random.PRNGKey(0), 1)
+        assert np.abs(np.asarray(s2.pose_params["se3"])).max() == 0
+
+    def test_progress_drives_schedule(self, setup):
+        cfg, scene, store, state, step, _ = setup
+        # At step 60/100 -> progress 0.6 > end -> phase 2 behavior expected.
+        state60 = state._replace(step=jnp.asarray(60, jnp.int32))
+        _, m = step(state60, scene, store, jax.random.PRNGKey(0), 2)
+        assert float(m["psnr"]) != 0.0
+
+
+class TestSharding:
+    def test_sharded_batch_matches_single_device(self, setup):
+        cfg, scene, store, state, _, batch_step = setup
+        mesh = make_mesh()
+        assert mesh.devices.size == 8, "conftest must provide 8 CPU devices"
+
+        idx = jnp.arange(64)
+        batch = gather_batch(store, idx)
+        out_ref, m_ref = batch_step(state, scene, batch, jax.random.PRNGKey(0), 1)
+
+        bsh = batch_sharding(mesh)
+        rsh = replicated_sharding(mesh)
+        batch_sharded = jax.tree.map(lambda x: jax.device_put(x, bsh), batch)
+        state_repl = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+        scene_repl = jax.tree.map(lambda x: jax.device_put(x, rsh), scene)
+        out_sh, m_sh = batch_step(
+            state_repl, scene_repl, batch_sharded, jax.random.PRNGKey(0), 1
+        )
+        np.testing.assert_allclose(
+            float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-4
+        )
+        # Parameters remain numerically identical across the two runs.
+        a = jax.tree.leaves(out_ref.params)
+        b = jax.tree.leaves(out_sh.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-5
+            )

@@ -1,0 +1,122 @@
+"""Train state and device-resident scene/ray-store structures.
+
+The reference's mutable LightningModule state (two optimizers, embeddings,
+se3/depth tables, the `progress` parameter; models/nerf_system.py:340-409)
+becomes one immutable pytree checkpointed atomically by orbax. The schedule
+`progress` is derived from `step`, so resume reproduces both the PE
+annealing and the candidate schedule exactly (the reference round-trips
+`progress` through the ckpt as an nn.Parameter, models/nerf.py:36).
+
+TPU-first data placement (no reference equivalent — the reference keeps
+tens-of-GB pickle ray buffers in host RAM, datasets/phototourism.py:36-37):
+
+- `SceneConstants`: small per-image tables (intrinsics, base poses,
+  near/far) plus the DINO feature stack, resident in device HBM.
+- `RayStore`: the compact per-ray record — pixel coords (u16), image index
+  (i32), RGB (u8), inverse depth (f16) ≈ 13 bytes/ray vs the reference's
+  ~50 (float32 directions + rgb + infos). Ray directions, normalized
+  feature gathers and u8->f32 conversion all happen on device inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upnerf.models import (
+    NeRFConfig,
+    TransientConfig,
+    init_embedding,
+    init_nerf,
+    init_transient,
+)
+
+
+class SceneConstants(NamedTuple):
+    """Per-image tables, device-resident, replicated across the mesh."""
+
+    Ks: jnp.ndarray  # (N_img, 3, 3) rescaled intrinsics
+    poses: jnp.ndarray  # (N_img, 3, 4) base c2w (identity when noise == -1)
+    near_far: jnp.ndarray  # (N_img, 2)
+    wh: jnp.ndarray  # (N_img, 2) image sizes (for pixel normalization)
+    feat_maps: Optional[jnp.ndarray]  # (N_img, h, w, C) L2-normalized, bf16
+
+
+class RayStore(NamedTuple):
+    """Compact per-ray training record (flattened over all images)."""
+
+    px: jnp.ndarray  # (N,) uint16 pixel column
+    py: jnp.ndarray  # (N,) uint16 pixel row
+    img_idx: jnp.ndarray  # (N,) int32
+    rgb: jnp.ndarray  # (N, 3) uint8
+    inv_depth: jnp.ndarray  # (N,) float16 normalized DPT inverse depth
+
+    @property
+    def n_rays(self) -> int:
+        return self.px.shape[0]
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # () int32, counts iterations
+    params: Dict[str, Any]  # NeRF coarse/fine + transient + embeddings
+    pose_params: Dict[str, jnp.ndarray]  # {"se3": (N,6), "depth_scale": (N,2)}
+    opt_state: Any
+    pose_opt_state: Any
+
+
+def init_params(
+    key: jax.Array,
+    nerf_cfg: NeRFConfig,
+    t_cfg: Optional[TransientConfig],
+    n_images: int,
+    fine: bool = True,
+) -> Dict[str, Any]:
+    """Group-1 (NeRF-optimizer) parameters (models/nerf_system.py:340-403)."""
+    ks = iter(jax.random.split(key, 16))
+    emb: Dict[str, jnp.ndarray] = {}
+    if nerf_cfg.encode_appearance:
+        emb["coarse_a"] = init_embedding(next(ks), n_images, nerf_cfg.appearance_dim)
+        if fine:
+            emb["fine_a"] = init_embedding(next(ks), n_images, nerf_cfg.appearance_dim)
+    if nerf_cfg.encode_candidate:
+        emb["coarse_c"] = init_embedding(next(ks), n_images, nerf_cfg.candidate_dim)
+        if fine:
+            emb["fine_c"] = init_embedding(next(ks), n_images, nerf_cfg.candidate_dim)
+    params: Dict[str, Any] = {
+        "nerf_coarse": init_nerf(next(ks), nerf_cfg),
+        "embeddings": emb,
+    }
+    if fine:
+        params["nerf_fine"] = init_nerf(next(ks), nerf_cfg)
+    if t_cfg is not None:
+        params["transient"] = init_transient(next(ks), t_cfg, n_images)
+    return params
+
+
+def init_pose_params(n_images: int) -> Dict[str, jnp.ndarray]:
+    """Zero-initialized se3 refinement + depth scale/shift tables
+    (models/nerf_system.py:406-409)."""
+    return {
+        "se3": jnp.zeros((n_images, 6), jnp.float32),
+        "depth_scale": jnp.zeros((n_images, 2), jnp.float32),
+    }
+
+
+def make_scene_constants(
+    Ks: np.ndarray,
+    poses: np.ndarray,
+    near_far: np.ndarray,
+    wh: np.ndarray,
+    feat_maps: Optional[np.ndarray],
+    feat_dtype=jnp.bfloat16,
+) -> SceneConstants:
+    return SceneConstants(
+        Ks=jnp.asarray(Ks, jnp.float32),
+        poses=jnp.asarray(poses, jnp.float32),
+        near_far=jnp.asarray(near_far, jnp.float32),
+        wh=jnp.asarray(wh, jnp.int32),
+        feat_maps=None if feat_maps is None else jnp.asarray(feat_maps, feat_dtype),
+    )

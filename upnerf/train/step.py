@@ -1,0 +1,351 @@
+"""The jitted UP-NeRF train step.
+
+One pure function replaces the reference's manual-optimization Lightning
+`training_step` (models/nerf_system.py:150-229): ray building from pixel
+coords + refined SE(3) poses, the depth prior, rendering, transient
+compositing, the scheduled loss, and BOTH optimizer updates, all fused into
+a single XLA program. The candidate-schedule phase is a static argument
+(three specializations over a whole run); `sched_mult`/`progress` are traced
+scalars derived from `state.step`.
+
+Data flow is device-first: the batch is (px, py, img_idx, rgb_u8,
+inv_depth) gathered from the compact RayStore; ray directions
+(utils/ray.py:5-27), DINO feature bilinear gathers
+(datasets/phototourism.py:430-453) and u8->f32 conversion happen on device.
+Under a data mesh, the batch is sharded on rays and parameters are
+replicated; XLA inserts the gradient all-reduce automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from upnerf.geometry import rays as ray_utils
+from upnerf.geometry import se3
+from upnerf.models import NeRFConfig, TransientConfig, apply_transient
+from upnerf.ops.interp import bilinear_gather
+from upnerf.render import RenderConfig, render_rays
+
+from .losses import LossConfig, compute_loss
+from .schedules import schedule_mult
+from .state import RayStore, SceneConstants, TrainState
+
+
+class StepConfig(NamedTuple):
+    """Static configuration bundle for the train step."""
+
+    nerf: NeRFConfig
+    transient: Optional[TransientConfig]
+    render: RenderConfig
+    loss: LossConfig
+    candidate_schedule: Tuple[float, float]
+    max_steps: int
+    pose_optimize: bool
+    near: float  # global clamp bounds for the depth prior
+    far: float
+    batch_size: int
+
+    @classmethod
+    def from_hparams(cls, hp: Dict[str, Any]) -> "StepConfig":
+        return cls(
+            nerf=NeRFConfig.from_hparams(hp),
+            transient=TransientConfig.from_hparams(hp),
+            render=RenderConfig.from_hparams(hp),
+            loss=LossConfig.from_hparams(hp),
+            candidate_schedule=tuple(hp["candidate_schedule"]),
+            max_steps=hp["max_steps"],
+            pose_optimize=hp["pose.optimize"],
+            near=hp["nerf.near"],
+            far=hp["nerf.far"],
+            batch_size=hp["train.batch_size"],
+        )
+
+
+def gather_batch(store: RayStore, idx: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Gather a compact ray batch by flat index (device-side)."""
+    return {
+        "px": store.px[idx].astype(jnp.float32),
+        "py": store.py[idx].astype(jnp.float32),
+        "img_idx": store.img_idx[idx],
+        "rgb": store.rgb[idx].astype(jnp.float32) / 255.0,
+        "inv_depth": store.inv_depth[idx].astype(jnp.float32),
+    }
+
+
+def build_rays(
+    pose_params: Dict[str, jnp.ndarray],
+    scene: SceneConstants,
+    batch: Dict[str, jnp.ndarray],
+    pose_optimize: bool,
+) -> jnp.ndarray:
+    """Pixel coords -> world rays (B, 8) through the refined per-image pose
+    (models/nerf_system.py:158-166)."""
+    img_idx = batch["img_idx"]
+    dirs = ray_utils.pixel_directions(batch["px"], batch["py"], scene.Ks[img_idx])
+    pose = scene.poses[img_idx]  # (B, 3, 4)
+    if pose_optimize:
+        pose_refine = se3.se3_to_SE3(pose_params["se3"][img_idx])
+        pose = se3.compose([pose_refine, pose])
+    rays_o, rays_d = ray_utils.get_rays(dirs, pose)
+    near_far = scene.near_far[img_idx]  # (B, 2)
+    return jnp.concatenate([rays_o, rays_d, near_far], axis=-1)
+
+
+def depth_prior(
+    pose_params: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    near: float,
+    far: float,
+) -> jnp.ndarray:
+    """Per-image scale/shift on the DPT inverse depth with clamps
+    (models/nerf_system.py:168-177). The clamp gradients vanish on the
+    clamped side, matching torch's masked in-place assignment."""
+    scale_shift = pose_params["depth_scale"][batch["img_idx"]]
+    scale = jnp.exp(scale_shift[:, 0])
+    shift = scale_shift[:, 1]
+    pred_inv = batch["inv_depth"] * scale + shift
+    pred_inv = jnp.maximum(pred_inv, 1.0 / far)
+    pred_depth = 1.0 / pred_inv
+    return jnp.maximum(pred_depth, near)
+
+
+def gather_feats(
+    scene: SceneConstants, batch: Dict[str, jnp.ndarray]
+) -> Optional[jnp.ndarray]:
+    """Bilinear DINO features for the batch pixels (device-side equivalent
+    of datasets/phototourism.py:430-453)."""
+    if scene.feat_maps is None:
+        return None
+    img_idx = batch["img_idx"]
+    wh = scene.wh[img_idx].astype(jnp.float32)  # (B, 2) = (W, H)
+    u = batch["py"] / jnp.maximum(wh[:, 1] - 1.0, 1.0)
+    v = batch["px"] / jnp.maximum(wh[:, 0] - 1.0, 1.0)
+    return bilinear_gather(scene.feat_maps, img_idx, u, v)
+
+
+def forward(
+    params: Dict[str, Any],
+    pose_params: Dict[str, jnp.ndarray],
+    cfg: StepConfig,
+    scene: SceneConstants,
+    batch: Dict[str, jnp.ndarray],
+    key: Optional[jax.Array],
+    *,
+    phase: int,
+    sched_mult: jnp.ndarray,
+    progress: jnp.ndarray,
+    det: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Optional[jnp.ndarray]]:
+    """Render + transient composite (models/nerf_system.py:93-148).
+
+    Returns (results, loss_dict-inputs ready, feats)."""
+    rays = build_rays(pose_params, scene, batch, cfg.pose_optimize)
+    feats = gather_feats(scene, batch)
+
+    render_params = {
+        "nerf_coarse": params["nerf_coarse"],
+        "nerf_fine": params.get("nerf_fine"),
+        "embeddings": params["embeddings"],
+    }
+    results = render_rays(
+        render_params,
+        cfg.render,
+        cfg.nerf,
+        rays,
+        batch["img_idx"],
+        key=key,
+        phase=phase,
+        sched_mult=sched_mult,
+        progress=progress,
+        det=det,
+    )
+
+    if phase > 0 and cfg.transient is not None and feats is not None:
+        t_res = apply_transient(
+            params["transient"], cfg.transient, feats, batch["img_idx"],
+            precision=cfg.render.precision,
+        )
+        t_alpha, t_rgb, t_beta = t_res["alpha"], t_res["rgb"], t_res["beta"]
+        sg = jax.lax.stop_gradient
+        # Coarse composite fully detaches the transient; fine does not
+        # (models/nerf_system.py:136-142).
+        results["rgb_coarse"] = (
+            results["s_rgb_coarse"] * (1.0 - sg(t_alpha))[:, None]
+            + sg(t_rgb) * sg(t_alpha)[:, None]
+        )
+        if "s_rgb_fine" in results:
+            results["rgb_fine"] = (
+                results["s_rgb_fine"] * (1.0 - t_alpha)[:, None]
+                + t_rgb * t_alpha[:, None]
+            )
+        results["t_beta"] = t_beta
+        results["t_alpha"] = t_alpha
+        results["t_rgb"] = t_rgb
+    elif phase > 0:
+        results["rgb_coarse"] = results["s_rgb_coarse"]
+
+    return results, rays, feats
+
+
+def _loss_and_metrics(
+    params: Dict[str, Any],
+    pose_params: Dict[str, jnp.ndarray],
+    cfg: StepConfig,
+    scene: SceneConstants,
+    batch: Dict[str, jnp.ndarray],
+    key: Optional[jax.Array],
+    phase: int,
+    sched_mult: jnp.ndarray,
+    progress: jnp.ndarray,
+):
+    results, _, feats = forward(
+        params, pose_params, cfg, scene, batch, key,
+        phase=phase, sched_mult=sched_mult, progress=progress,
+    )
+    pred_depths = depth_prior(pose_params, batch, cfg.near, cfg.far)
+    loss_d = compute_loss(
+        cfg.loss, results, batch["rgb"], feats, pred_depths, sched_mult, phase
+    )
+    loss = sum(loss_d.values())
+
+    metrics = {f"loss/{k}": v for k, v in loss_d.items()}
+    metrics["loss"] = loss
+    typ = "fine" if cfg.loss.fine else "coarse"
+    if phase > 0:
+        mse = ((results[f"s_rgb_{typ}"] - batch["rgb"]) ** 2).mean()
+        metrics["psnr"] = -10.0 * jnp.log10(mse)
+    else:
+        metrics["psnr"] = jnp.zeros(())
+    return loss, metrics
+
+
+def make_train_step(
+    cfg: StepConfig,
+    optimizer: optax.GradientTransformation,
+    pose_optimizer: Optional[optax.GradientTransformation],
+    donate: bool = False,
+):
+    """Build the jitted train step.
+
+    Signature: step(state, scene, store, key, phase) -> (state, metrics).
+    `phase` is static; the sampler draws the ray batch uniformly from the
+    device-resident store (iid with replacement — the reference's epoch
+    shuffle over ~1e8 rays is statistically indistinguishable; intentional
+    deviation)."""
+
+    def step_fn(
+        state: TrainState,
+        scene: SceneConstants,
+        store: RayStore,
+        key: jax.Array,
+        phase: int,
+    ):
+        k_sample, k_render = jax.random.split(key)
+        idx = jax.random.randint(
+            k_sample, (cfg.batch_size,), 0, store.n_rays, dtype=jnp.int32
+        )
+        batch = gather_batch(store, idx)
+        return _update(state, scene, batch, k_render, phase)
+
+    def batch_step_fn(
+        state: TrainState,
+        scene: SceneConstants,
+        batch: Dict[str, jnp.ndarray],
+        key: jax.Array,
+        phase: int,
+    ):
+        return _update(state, scene, batch, key, phase)
+
+    def _update(state, scene, batch, key, phase):
+        progress = state.step.astype(jnp.float32) / cfg.max_steps
+        sched = schedule_mult(progress, cfg.candidate_schedule)
+
+        grad_fn = jax.value_and_grad(
+            lambda p, pp: _loss_and_metrics(
+                p, pp, cfg, scene, batch, key, phase, sched, progress
+            ),
+            argnums=(0, 1),
+            has_aux=True,
+        )
+        (_, metrics), (grads, pose_grads) = grad_fn(state.params, state.pose_params)
+
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        if cfg.pose_optimize and pose_optimizer is not None:
+            pose_updates, pose_opt_state = pose_optimizer.update(
+                pose_grads, state.pose_opt_state, state.pose_params
+            )
+            pose_params = optax.apply_updates(state.pose_params, pose_updates)
+        else:
+            pose_params = state.pose_params
+            pose_opt_state = state.pose_opt_state
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            pose_params=pose_params,
+            opt_state=opt_state,
+            pose_opt_state=pose_opt_state,
+        )
+        return new_state, metrics
+
+    # Donation reuses the state buffers in place (halves peak HBM for the
+    # optimizer state) but deletes the caller's copy — opt-in for the train
+    # loop, off for interactive/test use.
+    jit_kwargs = dict(static_argnames=("phase",))
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+    return (
+        jax.jit(step_fn, **jit_kwargs),
+        jax.jit(batch_step_fn, **jit_kwargs),
+    )
+
+
+def make_eval_render(cfg: StepConfig, chunk_size: int = 4096):
+    """Full-image renderer: fixed-size chunks via lax.map inside one jit
+    (mirrors val chunking, models/nerf_system.py:104-110). The caller pads
+    the pixel set to a chunk multiple; masking is the caller's concern.
+
+    Signature: render(params, pose_params, scene, batch, phase) -> results
+    where batch holds (px, py, img_idx) padded to a multiple of chunk_size.
+    """
+
+    def render_fn(
+        params: Dict[str, Any],
+        pose_params: Dict[str, jnp.ndarray],
+        scene: SceneConstants,
+        batch: Dict[str, jnp.ndarray],
+        progress: jnp.ndarray,
+        phase: int,
+    ):
+        sched = schedule_mult(progress, cfg.candidate_schedule)
+        n = batch["px"].shape[0]
+        assert n % chunk_size == 0, "caller must pad to chunk multiple"
+        n_chunks = n // chunk_size
+
+        chunked = jax.tree.map(
+            lambda x: x.reshape(n_chunks, chunk_size, *x.shape[1:]), batch
+        )
+
+        def one_chunk(b):
+            results, _, feats = forward(
+                params, pose_params, cfg, scene, b, None,
+                phase=phase, sched_mult=sched, progress=progress, det=True,
+            )
+            if feats is not None:
+                results["feats_gt"] = feats
+            results["pred_depth"] = depth_prior(pose_params, b, cfg.near, cfg.far)
+            return results
+
+        out = jax.lax.map(one_chunk, chunked)
+        return jax.tree.map(lambda x: x.reshape(n, *x.shape[2:]), out)
+
+    return jax.jit(render_fn, static_argnames=("phase",))
