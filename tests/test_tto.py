@@ -1,0 +1,106 @@
+"""TTO: sim(3) test-pose initialization + grouped two-phase optimization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from upnerf.evaluate.tto import (
+    TTOConfig,
+    TTOGroup,
+    align_test_poses,
+    run_tto_group,
+)
+from upnerf.geometry import procrustes, se3
+from upnerf.models import NeRFConfig, init_nerf
+from upnerf.render import RenderConfig
+
+
+class TestAlignTestPoses:
+    def test_perfect_training_recovers_gt_frame(self):
+        """If the refined train poses exactly equal the parsed GT poses (in
+        some sim3 frame), aligned test poses must land on their GT parsed
+        counterparts mapped into that frame; check self-consistency by
+        running the train poses through the test path."""
+        rng = jax.random.PRNGKey(0)
+        gt = se3.se3_to_SE3(jax.random.normal(rng, (12, 6)) * 0.3)
+        gt = np.asarray(gt)
+        # Fabricate a training result: se3 table whose exp composed with
+        # identity equals parse_raw_camera-consistent transforms of gt.
+        # Instead of inverting parse_raw_camera analytically, feed the GT
+        # train poses as BOTH the se3-refined result and the alignment
+        # target: refine = log(parse^-1 ... ) is unnecessary — use the
+        # identity-refinement case where train refinement equals the parsed
+        # gt directly.
+        # Simpler invariant: aligning the TRAIN set through the test-pose
+        # path must reproduce prealigned train poses up to the sim3.
+        se3_table = np.asarray(
+            se3.SE3_to_se3(jnp.asarray(gt))
+        )  # refined posed = exp(se3) o I = gt
+        aligned_train_as_test = align_test_poses(se3_table, gt, gt)
+        # The camera centers of the aligned "test" poses must match the
+        # centers of the refined (=gt) parsed poses.
+        refined = procrustes.parse_raw_camera(
+            se3.compose(
+                [se3.se3_to_SE3(jnp.asarray(se3_table)),
+                 jnp.broadcast_to(jnp.eye(3, 4), (12, 3, 4))]
+            )
+        )
+        aligned_parsed = procrustes.parse_raw_camera(
+            jnp.asarray(aligned_train_as_test)
+        )
+        c = jnp.zeros((1, 1, 3))
+        c_ref = np.asarray(se3.cam2world(c, refined)[:, 0])
+        c_ali = np.asarray(se3.cam2world(c, aligned_parsed)[:, 0])
+        np.testing.assert_allclose(c_ali, c_ref, atol=5e-3)
+
+
+@pytest.mark.slow
+class TestRunTTO:
+    def test_two_phase_improves_psnr(self):
+        nerf_cfg = NeRFConfig(
+            D=2, W=32, skips=(1,), feat_dim=8, xyz_L=4, dir_L=2,
+            appearance_dim=8, candidate_dim=4, c2f=None,
+        )
+        cfg = TTOConfig(
+            nerf=nerf_cfg,
+            render=RenderConfig(
+                N_samples=8, N_importance=4, perturb=1.0, precision="float32"
+            ),
+            batch_size=64,
+            pose_epochs=2,
+            appearance_epochs=2,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        frozen = {
+            "nerf_coarse": init_nerf(ks[0], nerf_cfg),
+            "nerf_fine": init_nerf(ks[1], nerf_cfg),
+            "embeddings": {
+                "coarse_a": jax.random.normal(ks[2], (3, 8)),
+                "fine_a": jax.random.normal(ks[3], (3, 8)),
+                "coarse_c": jax.random.normal(ks[4], (3, 4)),
+                "fine_c": jax.random.normal(ks[5], (3, 4)),
+            },
+        }
+        G, H, W = 2, 12, 16
+        Ks = np.zeros((G, 3, 3), np.float32)
+        Ks[:, 0, 0] = Ks[:, 1, 1] = 15.0
+        Ks[:, 0, 2] = W / 2
+        Ks[:, 1, 2] = H / 2
+        Ks[:, 2, 2] = 1
+        rng = np.random.RandomState(0)
+        group = TTOGroup(
+            Ks=jnp.asarray(Ks),
+            base_poses=jnp.broadcast_to(jnp.eye(3, 4), (G, 3, 4)),
+            rgbs=jnp.asarray(rng.randint(0, 255, (G, H, W, 3)), jnp.uint8),
+            wh=jnp.asarray([[W, H]] * G, jnp.int32),
+            near_far=jnp.tile(jnp.array([[0.5, 4.0]]), (G, 1)),
+        )
+        out = run_tto_group(
+            frozen, cfg, group, appearance_dim=8, key=jax.random.PRNGKey(1),
+            log=lambda *a, **k: None,
+        )
+        assert out["psnr"].shape == (G,)
+        assert np.isfinite(out["psnr"]).all()
+        assert out["pose"].shape == (G, 3, 4)
+        assert np.isfinite(out["ssim"]).all()

@@ -1,0 +1,68 @@
+"""Evaluation CLI (reference eval.py:13-82).
+
+    python -m upnerf.cli.eval --result_dir outputs/<scene>/<exp> [--ckpt last]
+
+Prints mean train-pose rotation/translation errors (refined identity-init
+poses Procrustes-aligned to GT, eval.py:28-40) and mean PSNR/SSIM/LPIPS
+from the TTO results (eval.py:44-67; ours are a_optimize/metrics.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(args) -> None:
+    import jax.numpy as jnp
+
+    from upnerf.geometry import procrustes, se3
+
+    from .tto import load_trained
+
+    hparams, state, meta = load_trained(args.result_dir, args.ckpt)
+
+    if meta.GT_poses_dict is not None:
+        base = np.stack(
+            [np.asarray(meta.poses_dict[i], np.float32) for i in meta.img_ids_train]
+        )
+        gt = np.stack(
+            [np.asarray(meta.GT_poses_dict[i], np.float32) for i in meta.img_ids_train]
+        )
+        refine = se3.se3_to_SE3(state.pose_params["se3"])
+        refined = se3.compose([refine, jnp.asarray(base)])
+        err, _, _ = procrustes.pose_metric(refined, jnp.asarray(gt))
+        if err is not None:
+            print("train/pose_R", float(np.mean(np.asarray(err["R"]))) * 180 / np.pi)
+            print("train/pose_t", float(np.mean(np.asarray(err["t"]))))
+        else:
+            print("pose alignment is not converged")
+    else:
+        print("Dataset does not have GT poses. Skip pose evaluation.")
+
+    metrics_path = os.path.join(args.result_dir, "a_optimize", "metrics.json")
+    if not os.path.isfile(metrics_path):
+        print(f"There is no {metrics_path}.")
+        print("You should run upnerf.cli.tto for getting NVS results.")
+        return
+    with open(metrics_path) as f:
+        m = json.load(f)
+    psnr = [v["psnr"] for v in m.values()]
+    ssim = [v["ssim"] for v in m.values()]
+    lpips = [v["lpips"] for v in m.values() if v.get("lpips") is not None]
+    print("PSNR: \t", float(np.mean(psnr)))
+    print("SSIM: \t", float(np.mean(ssim)))
+    if lpips:
+        print("LPIPS: \t", float(np.mean(lpips)))
+    else:
+        print("LPIPS: \t n/a (no LPIPS weights; set UPNERF_LPIPS_WEIGHTS)")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--result_dir", required=True)
+    parser.add_argument("--ckpt", default="last")
+    main(parser.parse_args())

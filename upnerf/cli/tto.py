@@ -1,0 +1,165 @@
+"""Test-time optimization CLI (reference tto.py:94-139).
+
+    python -m upnerf.cli.tto --result_dir outputs/<scene>/<exp> \
+        [--ckpt last|best] [--batch_size 1024] [--optimize_num -1] \
+        [--group_size 4]
+
+Reloads the saved training config (tto.py:112-113), restores the trained
+state, sim(3)-aligns GT test poses into the learned frame, and runs both
+TTO phases for all test images (or one, with --optimize_num), batched in
+groups. Writes per-image refined poses and metrics to
+<result_dir>/a_optimize/ (JSON instead of the reference's pickles:
+eval-compatible via upnerf.cli.eval).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def load_trained(result_dir: str, ckpt: str):
+    """(hparams, state, n_train) from a training run directory."""
+    import jax
+
+    from upnerf.config import get_from_path
+    from upnerf.data import load_scene_meta
+    from upnerf.train.state import build_train_state
+    from upnerf.utils.ckpt import CheckpointManager
+
+    hparams = get_from_path(os.path.join(result_dir, "config.yaml"))
+    meta = load_scene_meta(hparams)
+    state_like = build_train_state(hparams, meta.N_images_train)
+    mngr = CheckpointManager(os.path.join(result_dir, "ckpts"))
+    step = mngr.best_step() if ckpt == "best" else mngr.latest_step()
+    state = mngr.restore(state_like, step)
+    mngr.close()
+    return hparams, state, meta
+
+
+def main(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from upnerf.data.images import load_rgb_u8
+    from upnerf.evaluate.lpips import load_lpips
+    from upnerf.evaluate.tto import (
+        TTOConfig,
+        TTOGroup,
+        align_test_poses,
+        run_tto_group,
+    )
+    from upnerf.models import NeRFConfig
+    from upnerf.render import RenderConfig
+
+    hparams, state, meta = load_trained(args.result_dir, args.ckpt)
+    save_root = os.path.join(args.result_dir, "a_optimize")
+    os.makedirs(os.path.join(save_root, "optimized_pose"), exist_ok=True)
+
+    assert meta.GT_poses_dict is not None, "TTO needs GT test poses"
+    gt_train = np.stack(
+        [np.asarray(meta.GT_poses_dict[i], np.float32) for i in meta.img_ids_train]
+    )
+    gt_test = np.stack(
+        [np.asarray(meta.GT_poses_dict[i], np.float32) for i in meta.img_ids_test]
+    )
+    aligned_test = align_test_poses(
+        np.asarray(state.pose_params["se3"]), gt_train, gt_test
+    )
+
+    test_ids = meta.img_ids_test
+    nums = (
+        list(range(len(test_ids)))
+        if args.optimize_num == -1
+        else [args.optimize_num]
+    )
+
+    nerf_cfg = NeRFConfig.from_hparams(hparams)
+    cfg = TTOConfig(
+        nerf=nerf_cfg,
+        render=RenderConfig.from_hparams(hparams)._replace(perturb=1.0),
+        batch_size=args.batch_size,
+        pose_epochs=args.pose_epochs,
+        appearance_epochs=args.appearance_epochs,
+    )
+    frozen = {
+        "nerf_coarse": state.params["nerf_coarse"],
+        "nerf_fine": state.params["nerf_fine"],
+        "embeddings": state.params["embeddings"],
+    }
+    lpips = load_lpips()
+    if lpips is None:
+        print("[tto] LPIPS weights not found (UPNERF_LPIPS_WEIGHTS unset) — "
+              "reporting PSNR/SSIM only")
+
+    results_path = os.path.join(save_root, "metrics.json")
+    all_metrics = {}
+    if os.path.isfile(results_path):
+        with open(results_path) as f:
+            all_metrics = json.load(f)
+
+    key = jax.random.PRNGKey(hparams.get("seed", 42))
+    for g0 in range(0, len(nums), args.group_size):
+        group_nums = nums[g0 : g0 + args.group_size]
+        imgs, Ks, whs = [], [], []
+        for n in group_nums:
+            id_ = test_ids[n]
+            img = load_rgb_u8(
+                os.path.join(meta.image_dir, meta.image_paths[id_]), meta.scale
+            )
+            imgs.append(img)
+            Ks.append(meta.Ks[id_])
+            whs.append([img.shape[1], img.shape[0]])
+        Hm = max(i.shape[0] for i in imgs)
+        Wm = max(i.shape[1] for i in imgs)
+        rgbs = np.zeros((len(imgs), Hm, Wm, 3), np.uint8)
+        for i, img in enumerate(imgs):
+            rgbs[i, : img.shape[0], : img.shape[1]] = img
+
+        group = TTOGroup(
+            Ks=jnp.asarray(np.stack(Ks), jnp.float32),
+            base_poses=jnp.asarray(aligned_test[np.asarray(group_nums)], jnp.float32),
+            rgbs=jnp.asarray(rgbs),
+            wh=jnp.asarray(np.asarray(whs), jnp.int32),
+            near_far=jnp.tile(
+                jnp.array([[hparams["nerf.near"], hparams["nerf.far"]]]),
+                (len(imgs), 1),
+            ),
+        )
+        key, k = jax.random.split(key)
+        out = run_tto_group(
+            frozen, cfg, group, hparams["nerf.appearance_dim"], k, lpips=lpips
+        )
+        for i, n in enumerate(group_nums):
+            np.save(
+                os.path.join(
+                    save_root, "optimized_pose", f"best_pose_{n:02d}.npy"
+                ),
+                out["pose"][i],
+            )
+            all_metrics[str(n)] = {
+                "psnr": float(out["psnr"][i]),
+                "ssim": float(out["ssim"][i]),
+                "lpips": (
+                    None if np.isnan(out["lpips"][i]) else float(out["lpips"][i])
+                ),
+            }
+        with open(results_path, "w") as f:
+            json.dump(all_metrics, f, indent=1)
+        done = len(all_metrics)
+        print(f"[tto] {done}/{len(test_ids)} images done -> {results_path}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--result_dir", required=True)
+    parser.add_argument("--ckpt", default="last", choices=["last", "best"])
+    parser.add_argument("--batch_size", default=1024, type=int)
+    parser.add_argument("--optimize_num", default=-1, type=int)
+    parser.add_argument("--group_size", default=4, type=int)
+    parser.add_argument("--pose_epochs", default=50, type=int)
+    parser.add_argument("--appearance_epochs", default=20, type=int)
+    main(parser.parse_args())

@@ -40,6 +40,10 @@ class RenderConfig(NamedTuple):
     perturb: float = 1.0
     encode_feat: bool = True
     precision: str = "high"
+    # Rematerialize the NeRF MLP in the backward pass: activations of the
+    # 8x256 trunk over 2048x(128+256) samples are ~0.5 GB/layer in fp32 —
+    # without remat the flagship config cannot fit a 16 GB v5e chip.
+    remat: bool = True
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "RenderConfig":
@@ -50,6 +54,7 @@ class RenderConfig(NamedTuple):
             perturb=hp["nerf.perturb"],
             encode_feat=hp["nerf.feat_dim"] > 0,
             precision=hp.get("tpu.matmul_precision", "high"),
+            remat=hp.get("tpu.remat", True),
         )
 
 
@@ -69,6 +74,7 @@ def _inference(
     progress: jnp.ndarray,
     encode_candidate: bool,
     precision: str,
+    remat: bool = False,
 ) -> None:
     """One NeRF evaluation + compositing pass (models/rendering.py:86-219).
 
@@ -92,16 +98,21 @@ def _inference(
             c_emb[:, None, :], (R, S, c_emb.shape[-1])
         )
 
-    out = apply_nerf(
-        nerf_params,
-        nerf_cfg,
-        inputs,
-        phase=phase,
-        sched_mult=sched_mult,
-        progress=progress,
-        encode_candidate=encode_candidate,
-        precision=precision,
-    )
+    def _apply(p, inp, sm, pr):
+        return apply_nerf(
+            p,
+            nerf_cfg,
+            inp,
+            phase=phase,
+            sched_mult=sm,
+            progress=pr,
+            encode_candidate=encode_candidate,
+            precision=precision,
+        )
+
+    if remat:
+        _apply = jax.checkpoint(_apply)
+    out = _apply(nerf_params, inputs, sched_mult, progress)
     # out values have shape (R, S) for sigmas, (R, S, C) for feat/rgb.
 
     deltas = volume.deltas_from_z(z_vals)
@@ -218,6 +229,7 @@ def render_rays(
         progress=progress,
         encode_candidate=encode_candidate,
         precision=cfg.precision,
+        remat=cfg.remat,
     )
 
     if cfg.N_importance > 0:
@@ -257,5 +269,6 @@ def render_rays(
             progress=progress,
             encode_candidate=encode_candidate,
             precision=cfg.precision,
+            remat=cfg.remat,
         )
     return results

@@ -1,0 +1,339 @@
+"""Host training loop.
+
+Replaces the Lightning Trainer + NeRFSystem orchestration (train.py:64-79,
+models/nerf_system.py): builds the device-resident scene/ray store, drives
+the jitted train step with the static phase derived from progress, renders
+validation images, logs pose errors, and checkpoints via orbax with
+auto-resume.
+
+Throughput-relevant choices:
+- device-resident ray store (tpu.store_on_device): the hot loop makes no
+  host->device transfers at all — batch indices are drawn on device;
+- the step donates the train state (tpu.donate_state) so optimizer buffers
+  are reused in place;
+- metrics come back to host only every `log_every` steps (device->host
+  syncs would otherwise serialize the pipeline).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upnerf.data import SceneMeta, load_training_data
+from upnerf.evaluate.metrics import psnr as psnr_fn
+from upnerf.geometry import procrustes, se3
+from upnerf.parallel import batch_sharding, make_mesh, replicated_sharding
+from upnerf.utils import CheckpointManager, MetricLogger, get_pca_img, visualize_depth
+
+from .optim import learning_rate_at, make_optimizer
+from .schedules import schedule_phase
+from .state import RayStore, SceneConstants, TrainState, init_params, init_pose_params
+from .step import StepConfig, gather_batch, make_eval_render, make_train_step
+
+
+class Trainer:
+    def __init__(self, hparams: Dict[str, Any]):
+        self.hp = hparams
+        self.cfg = StepConfig.from_hparams(hparams)
+        self.max_steps = hparams["max_steps"]
+        self.debug = hparams.get("debug", False)
+
+        scene_np, store_np, meta = load_training_data(hparams)
+        self.meta: SceneMeta = meta
+        self.ray_offsets = np.asarray(scene_np["ray_offsets"])
+        self.n_images = meta.N_images_train
+
+        self.mesh = make_mesh(hparams.get("tpu.data_axis", 0) or 0)
+        self.repl = replicated_sharding(self.mesh)
+        self.bsh = batch_sharding(self.mesh)
+
+        feat_maps = scene_np["feat_maps"]
+        self.scene = SceneConstants(
+            Ks=jax.device_put(jnp.asarray(scene_np["Ks"], jnp.float32), self.repl),
+            poses=jax.device_put(jnp.asarray(scene_np["poses"], jnp.float32), self.repl),
+            near_far=jax.device_put(
+                jnp.asarray(scene_np["near_far"], jnp.float32), self.repl
+            ),
+            wh=jax.device_put(jnp.asarray(scene_np["wh"], jnp.int32), self.repl),
+            feat_maps=(
+                None
+                if feat_maps is None
+                else jax.device_put(jnp.asarray(feat_maps, jnp.bfloat16), self.repl)
+            ),
+        )
+
+        self.store_on_device = bool(hparams.get("tpu.store_on_device", True))
+        if self.store_on_device:
+            self.store = RayStore(
+                px=jax.device_put(jnp.asarray(store_np["px"]), self.repl),
+                py=jax.device_put(jnp.asarray(store_np["py"]), self.repl),
+                img_idx=jax.device_put(jnp.asarray(store_np["img_idx"]), self.repl),
+                rgb=jax.device_put(jnp.asarray(store_np["rgb"]), self.repl),
+                inv_depth=jax.device_put(
+                    jnp.asarray(store_np["inv_depth"]), self.repl
+                ),
+            )
+            self.store_np = None
+        else:
+            self.store = None
+            self.store_np = store_np
+        self.n_rays = int(store_np["px"].shape[0])
+
+        # optimizers (configure_optimizers, models/nerf_system.py:41-73)
+        hp = hparams
+        self.optimizer = make_optimizer(
+            hp["optimizer.type"], hp["optimizer.lr"],
+            hp["optimizer.scheduler.lr_end"], self.max_steps,
+            hp["optimizer.scheduler.type"],
+        )
+        self.pose_optimizer = make_optimizer(
+            hp["optimizer_pose.type"], hp["optimizer_pose.lr"],
+            hp["optimizer_pose.scheduler.lr_end"], self.max_steps,
+            hp["optimizer_pose.scheduler.type"],
+        )
+
+        key = jax.random.PRNGKey(hp.get("seed", 42))
+        params = init_params(key, self.cfg.nerf, self.cfg.transient, self.n_images)
+        pose_params = init_pose_params(self.n_images)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            pose_params=pose_params,
+            opt_state=self.optimizer.init(params),
+            pose_opt_state=self.pose_optimizer.init(pose_params),
+        )
+        self.state = jax.device_put(state, self.repl)
+
+        donate = bool(hp.get("tpu.donate_state", True))
+        self.step_fn, self.batch_step_fn = make_train_step(
+            self.cfg, self.optimizer, self.pose_optimizer, donate=donate
+        )
+        self.eval_render = make_eval_render(self.cfg, hp["val.chunk_size"])
+
+        # experiment dir + ckpt/logging (train.py:29-49)
+        self.save_dir = os.path.join(
+            hp["out_dir"], hp["scene_name"], hp["exp_name"]
+        )
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpts"))
+        self.logger = MetricLogger(self.save_dir, config=hparams)
+        self.rng = jax.random.PRNGKey(hp.get("seed", 42) + 1)
+
+        # val cadence: fraction of an epoch (Lightning val_check_interval
+        # semantics, train.py:69) or absolute steps when >= 1.
+        li = hp["val.log_interval"]
+        steps_per_epoch = max(1, self.n_rays // self.cfg.batch_size)
+        self.val_interval = int(li) if li >= 1 else max(1, int(li * steps_per_epoch))
+        self.ckpt_interval = hp.get("train.ckpt_interval", 10000)
+        self.log_pose_interval = hp.get("train.log_pose_interval", 3000)
+        self.val_img_idx = list(hp.get("val.img_idx", (0,)))
+
+    # --- training ----------------------------------------------------------
+
+    def fit(
+        self, log_every: int = 100, resume: bool = True, max_steps: Optional[int] = None
+    ) -> TrainState:
+        if resume and self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            print(f"[upnerf] resumed from step {int(self.state.step)}")
+        max_steps = max_steps or self.max_steps
+
+        t0 = time.time()
+        window_rays = 0
+        step = int(self.state.step)
+        while step < max_steps:
+            phase = schedule_phase(
+                step / self.max_steps, self.cfg.candidate_schedule
+            )
+            self.rng, k = jax.random.split(self.rng)
+            if self.store_on_device:
+                self.state, metrics = self.step_fn(
+                    self.state, self.scene, self.store, k, phase
+                )
+            else:
+                batch = self._host_sample_batch(step)
+                batch = jax.tree.map(lambda x: jax.device_put(x, self.bsh), batch)
+                self.state, metrics = self.batch_step_fn(
+                    self.state, self.scene, batch, k, phase
+                )
+            step += 1
+            window_rays += self.cfg.batch_size
+
+            if step % log_every == 0 or step == max_steps:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                dt = time.time() - t0
+                m["rays_per_sec"] = window_rays / max(dt, 1e-9)
+                m["lr"] = learning_rate_at(
+                    step, self.hp["optimizer.lr"],
+                    self.hp["optimizer.scheduler.lr_end"], self.max_steps,
+                )
+                m["lr_pose"] = learning_rate_at(
+                    step, self.hp["optimizer_pose.lr"],
+                    self.hp["optimizer_pose.scheduler.lr_end"], self.max_steps,
+                )
+                m["phase"] = phase
+                self.logger.log(step, m)
+                t0 = time.time()
+                window_rays = 0
+
+            if self.log_pose_interval and step % self.log_pose_interval == 0:
+                self.log_pose(step)
+
+            if step % self.val_interval == 0 or step == max_steps:
+                val_psnr = self.validate(step)
+                self.ckpt.save(step, self.state, {"val_psnr": val_psnr})
+            elif step % self.ckpt_interval == 0:
+                self.ckpt.save(step, self.state)
+        return self.state
+
+    def _host_sample_batch(self, step: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(step)
+        idx = rng.randint(0, self.n_rays, self.cfg.batch_size)
+        s = self.store_np
+        return {
+            "px": s["px"][idx].astype(np.float32),
+            "py": s["py"][idx].astype(np.float32),
+            "img_idx": s["img_idx"][idx],
+            "rgb": s["rgb"][idx].astype(np.float32) / 255.0,
+            "inv_depth": s["inv_depth"][idx].astype(np.float32),
+        }
+
+    # --- validation (models/nerf_system.py:231-318) ------------------------
+
+    def _image_pixels(self, img_i: int) -> Dict[str, jnp.ndarray]:
+        lo, hi = int(self.ray_offsets[img_i]), int(self.ray_offsets[img_i + 1])
+        n = hi - lo
+        chunk = self.hp["val.chunk_size"]
+        pad = (-n) % chunk
+        if self.store_np is not None:
+            px = np.asarray(self.store_np["px"][lo:hi])
+            py = np.asarray(self.store_np["py"][lo:hi])
+        else:
+            px = np.asarray(self.store.px[lo:hi])
+            py = np.asarray(self.store.py[lo:hi])
+        invd = (
+            np.asarray(self.store_np["inv_depth"][lo:hi])
+            if self.store_np is not None
+            else np.asarray(self.store.inv_depth[lo:hi])
+        )
+        batch = {
+            "px": np.pad(px, (0, pad)).astype(np.float32),
+            "py": np.pad(py, (0, pad)).astype(np.float32),
+            "img_idx": np.full(n + pad, img_i, np.int32),
+            "inv_depth": np.pad(invd, (0, pad)).astype(np.float32),
+        }
+        return {k: jnp.asarray(v) for k, v in batch.items()}, n
+
+    def render_image(self, img_i: int):
+        """Render one train-split image at the current state; returns
+        (results dict cropped to n rays, (W, H))."""
+        batch, n = self._image_pixels(img_i)
+        step = int(self.state.step)
+        phase = schedule_phase(step / self.max_steps, self.cfg.candidate_schedule)
+        out = self.eval_render(
+            self.state.params, self.state.pose_params, self.scene, batch,
+            jnp.asarray(step / self.max_steps, jnp.float32), phase,
+        )
+        out = {k: np.asarray(v[:n]) for k, v in out.items()}
+        w, h = (int(x) for x in np.asarray(self.scene.wh[img_i]))
+        return out, (w, h)
+
+    def validate(self, step: int) -> float:
+        psnrs = []
+        for img_i in self.val_img_idx:
+            out, (w, h) = self.render_image(img_i)
+            lo, hi = int(self.ray_offsets[img_i]), int(self.ray_offsets[img_i + 1])
+            rgb_gt = (
+                np.asarray(
+                    self.store_np["rgb"][lo:hi]
+                    if self.store_np is not None
+                    else self.store.rgb[lo:hi]
+                ).astype(np.float32)
+                / 255.0
+            )
+            typ = "fine" if self.cfg.loss.fine else "coarse"
+            key = f"s_rgb_{typ}"
+            if key in out:
+                psnrs.append(float(psnr_fn(jnp.asarray(out[key]), jnp.asarray(rgb_gt))))
+            if not self.debug:
+                self._log_val_images(step, img_i, out, rgb_gt, (w, h))
+        val_psnr = float(np.mean(psnrs)) if psnrs else 0.0
+        self.logger.log(step, {"val/psnr": val_psnr})
+        return val_psnr
+
+    def _log_val_images(self, step, img_i, out, rgb_gt, wh):
+        w, h = wh
+        self.logger.log_image(step, f"val_{img_i}/rgb_GT", rgb_gt.reshape(h, w, 3))
+        for name in self.hp.get("val.log_image_list", ()):  # nerf_system.py:293-307
+            try:
+                if name in ("t_beta", "t_alpha", "t_rgb") and name in out:
+                    img = out[name].reshape(h, w, -1)
+                    img = img / max(img.max(), 1e-9)
+                    if img.shape[-1] == 1:
+                        img = np.repeat(img, 3, -1)
+                    self.logger.log_image(step, f"val_{img_i}/{name}", img)
+                elif "depth" in name and name in out:
+                    self.logger.log_image(
+                        step, f"val_{img_i}/{name}",
+                        visualize_depth(out[name].reshape(h, w)),
+                    )
+                elif "feat" in name and name in out:
+                    img = out[name].reshape(h, w, -1)
+                    # quick PCA from the map itself (pca_infos are viz-only)
+                    flat = img.reshape(-1, img.shape[-1])
+                    mean = flat.mean(0)
+                    _, _, vt = np.linalg.svd(
+                        flat[:: max(1, len(flat) // 2048)] - mean, full_matrices=False
+                    )
+                    self.logger.log_image(
+                        step, f"val_{img_i}/{name}", get_pca_img(img, mean, vt[:3])
+                    )
+                elif "rgb" in name and name in out:
+                    self.logger.log_image(
+                        step, f"val_{img_i}/{name}", out[name].reshape(h, w, 3)
+                    )
+            except Exception:
+                pass
+
+    # --- pose-error logging (models/nerf_system.py:411-450) ----------------
+
+    def log_pose(self, step: int):
+        if self.meta.GT_poses_dict is None:
+            return
+        base = np.stack(
+            [np.asarray(self.meta.poses_dict[i]) for i in self.meta.img_ids_train]
+        )
+        gt = np.stack(
+            [np.asarray(self.meta.GT_poses_dict[i]) for i in self.meta.img_ids_train]
+        )
+        refine = se3.se3_to_SE3(self.state.pose_params["se3"])
+        refined = np.asarray(se3.compose([refine, jnp.asarray(base)]))
+        err, aligned, gt_parsed = procrustes.pose_metric(
+            jnp.asarray(refined), jnp.asarray(gt)
+        )
+        if err is not None:
+            self.logger.log(
+                step,
+                {
+                    "train/pose_R": float(np.mean(np.asarray(err["R"]))) * 180 / math.pi,
+                    "train/pose_t": float(np.mean(np.asarray(err["t"]))),
+                },
+            )
+        if not self.debug:
+            try:
+                from upnerf.utils.viz import get_pose_image
+
+                n = min(20, len(refined))
+                img = get_pose_image(
+                    np.asarray(aligned)[:n], np.asarray(gt_parsed)[:n]
+                )
+                self.logger.log_image(step, "train/refine_pose", img)
+            except Exception:
+                pass

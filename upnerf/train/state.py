@@ -105,6 +105,40 @@ def init_pose_params(n_images: int) -> Dict[str, jnp.ndarray]:
     }
 
 
+def build_train_state(hparams: Dict[str, Any], n_images: int) -> TrainState:
+    """Construct a freshly-initialized TrainState (the restore template for
+    checkpoint loading in tto/eval, which must match training exactly)."""
+    import jax.numpy as jnp
+
+    from upnerf.models import NeRFConfig, TransientConfig
+    from .optim import make_optimizer
+
+    nerf_cfg = NeRFConfig.from_hparams(hparams)
+    t_cfg = TransientConfig.from_hparams(hparams)
+    fine = hparams["nerf.N_importance"] > 0
+    params = init_params(
+        jax.random.PRNGKey(hparams.get("seed", 42)), nerf_cfg, t_cfg, n_images, fine
+    )
+    pose_params = init_pose_params(n_images)
+    opt = make_optimizer(
+        hparams["optimizer.type"], hparams["optimizer.lr"],
+        hparams["optimizer.scheduler.lr_end"], hparams["max_steps"],
+        hparams["optimizer.scheduler.type"],
+    )
+    pose_opt = make_optimizer(
+        hparams["optimizer_pose.type"], hparams["optimizer_pose.lr"],
+        hparams["optimizer_pose.scheduler.lr_end"], hparams["max_steps"],
+        hparams["optimizer_pose.scheduler.type"],
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        pose_params=pose_params,
+        opt_state=opt.init(params),
+        pose_opt_state=pose_opt.init(pose_params),
+    )
+
+
 def make_scene_constants(
     Ks: np.ndarray,
     poses: np.ndarray,

@@ -1,0 +1,87 @@
+"""Orbax checkpointing of the train state.
+
+Replaces Lightning's ModelCheckpoint (train.py:43-49): keeps `last` plus the
+top-k by val PSNR, and supports auto-resume (train.py:34-40). The whole
+TrainState pytree (params, pose tables, BOTH optimizer states, step) is one
+atomic checkpoint; `step` reproduces the schedule `progress`, which the
+reference persists as an nn.Parameter (models/nerf.py:36).
+
+`extract_submodel` mirrors the reference's prefix-based surgical loading for
+TTO (utils/__init__.py:4-26): pull one sub-tree (e.g. "params/nerf_fine")
+out of a checkpointed state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 2):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep + 1,  # keep `last` + top-k slots
+                best_fn=lambda m: m.get("val_psnr", -1.0),
+                best_mode="max",
+                keep_checkpoints_without_metrics=True,
+            ),
+        )
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
+        self._mngr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mngr.best_step()
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of `state_like` (an abstract or
+        concrete state pytree)."""
+        if step is None:
+            step = self.latest_step()
+        assert step is not None, f"no checkpoint in {self.directory}"
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def close(self):
+        self._mngr.close()
+
+
+def extract_submodel(state: Any, path: str) -> Any:
+    """Fetch a sub-pytree by '/'-joined keys, e.g. 'params/nerf_fine'
+    (reference: utils/__init__.py:4-26 prefix extraction)."""
+    node = state
+    for key in path.split("/"):
+        if isinstance(node, dict):
+            node = node[key]
+        else:
+            node = getattr(node, key)
+    return node
+
+
+def save_single(path: str, tree: Any) -> None:
+    """One-shot whole-pytree save (no manager bookkeeping)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def restore_single(path: str, tree_like: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(ocp.utils.to_shape_dtype_struct, tree_like)
+    return ckptr.restore(os.path.abspath(path), target)
