@@ -55,6 +55,23 @@ def pixel_directions(
     )
 
 
+def get_ndc_rays(H, W, focal, near, rays_o, rays_d):
+    """World rays -> NDC cube rays (utils/ray.py:70-111). Unused by the
+    main UP-NeRF path (scene bounds are metric) but part of the API."""
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    ox_oz = rays_o[..., 0] / rays_o[..., 2]
+    oy_oz = rays_o[..., 1] / rays_o[..., 2]
+    o0 = -1.0 / (W / (2.0 * focal)) * ox_oz
+    o1 = -1.0 / (H / (2.0 * focal)) * oy_oz
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = -1.0 / (W / (2.0 * focal)) * (rays_d[..., 0] / rays_d[..., 2] - ox_oz)
+    d1 = -1.0 / (H / (2.0 * focal)) * (rays_d[..., 1] / rays_d[..., 2] - oy_oz)
+    d2 = 1.0 - o2
+    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
 def get_rays(
     directions: jnp.ndarray, c2w: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

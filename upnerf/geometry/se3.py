@@ -181,3 +181,37 @@ def cam2world(X: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
     """[..., N, 3] x [..., 3, 4] -> [..., N, 3] (utils/camera.py:282-285)."""
     pose_inv = invert(pose)
     return to_hom(X) @ jnp.swapaxes(pose_inv, -1, -2)
+
+
+def angle_to_rotation_matrix(a: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Euler rotation about X/Y/Z (utils/camera.py:288-302)."""
+    roll = dict(X=1, Y=2, Z=0)[axis]
+    O = jnp.zeros_like(a)
+    I = jnp.ones_like(a)
+    M = jnp.stack(
+        [
+            jnp.stack([jnp.cos(a), -jnp.sin(a), O], -1),
+            jnp.stack([jnp.sin(a), jnp.cos(a), O], -1),
+            jnp.stack([O, O, I], -1),
+        ],
+        -2,
+    )
+    return jnp.roll(M, (roll, roll), axis=(-2, -1))
+
+
+def get_novel_view_poses(
+    pose_anchor: jnp.ndarray, N: int = 60, scale: float = 1.0
+) -> jnp.ndarray:
+    """Circular novel-view path around an anchor camera
+    (utils/camera.py:385-395)."""
+    theta = jnp.arange(N) / N * 2 * jnp.pi
+    R_x = angle_to_rotation_matrix(jnp.arcsin(jnp.sin(theta) * 0.05), "X")
+    R_y = angle_to_rotation_matrix(jnp.arcsin(jnp.cos(theta) * 0.05), "Y")
+    pose_rot = make_pose(R=R_y @ R_x)
+    pose_shift = make_pose(t=jnp.array([0.0, 0.0, -4.0 * scale]))
+    pose_shift2 = make_pose(t=jnp.array([0.0, 0.0, 3.8 * scale]))
+    shift_b = jnp.broadcast_to(pose_shift, (N, 3, 4))
+    shift2_b = jnp.broadcast_to(pose_shift2, (N, 3, 4))
+    pose_oscil = compose([shift_b, pose_rot, shift2_b])
+    anchor = jnp.broadcast_to(pose_anchor, (N, 3, 4))
+    return compose([pose_oscil, anchor])
