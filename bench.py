@@ -43,7 +43,7 @@ def main():
     step, _ = make_train_step(cfg, opt, pose_opt, donate=True)
 
     phase = 1  # blended phase: all heads live — the most expensive program
-    key = jax.random.PRNGKey(0)
+    key = jax.random.key(0, impl="rbg")
 
     # Scalar readout that depends on the updated parameters: through the
     # axon tunnel, block_until_ready() does NOT wait for remote execution,

@@ -76,18 +76,25 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (N_rays, N_importance))
 
-    # Per-row searchsorted; 'sort' lowers to a single concatenated argsort,
-    # which maps onto the TPU sort unit far better than a per-query scan.
-    inds = jax.vmap(
-        lambda c, q: jnp.searchsorted(c, q, side="right", method="sort")
-    )(cdf, u)
+    # Branchless CDF inversion. searchsorted + take_along_axis lower to
+    # slow per-element custom-gather fusions on TPU (measured ~32 ms/step,
+    # 18% of the train step); with M ~ 128 the O(N*M) masked reduction is a
+    # single VPU-friendly fusion instead. side='right' semantics:
+    # inds = #{j : cdf_j <= u}, below = inds - 1 (>= 0 since cdf_0 = 0).
+    cmp = cdf[:, None, :] <= u[:, :, None]  # (N_rays, N_importance, M+1)
+    inds = jnp.sum(cmp, -1, dtype=jnp.int32)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, M)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, -1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, -1)
-    bins_g0 = jnp.take_along_axis(bins, below, -1)
-    bins_g1 = jnp.take_along_axis(bins, above, -1)
+    grid = jnp.arange(M + 1, dtype=jnp.int32)
+    oh_below = below[:, :, None] == grid  # fuses into the reductions
+    oh_above = above[:, :, None] == grid
+    cdf_b = cdf[:, None, :]
+    bins_b = bins[:, None, :]  # bins is (N_rays, M+1), same length as cdf
+    cdf_g0 = jnp.sum(jnp.where(oh_below, cdf_b, 0.0), -1)
+    cdf_g1 = jnp.sum(jnp.where(oh_above, cdf_b, 0.0), -1)
+    bins_g0 = jnp.sum(jnp.where(oh_below, bins_b, 0.0), -1)
+    bins_g1 = jnp.sum(jnp.where(oh_above, bins_b, 0.0), -1)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < eps, 1.0, denom)

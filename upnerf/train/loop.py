@@ -84,6 +84,16 @@ class Trainer:
         else:
             self.store = None
             self.store_np = store_np
+            from upnerf.data.prefetch import BatchPrefetcher
+
+            self.prefetcher = BatchPrefetcher(
+                store_np,
+                self.cfg.batch_size,
+                device_put=lambda b: jax.tree.map(
+                    lambda x: jax.device_put(x, self.bsh), b
+                ),
+                seed=hparams.get("seed", 42),
+            )
         self.n_rays = int(store_np["px"].shape[0])
 
         # optimizers (configure_optimizers, models/nerf_system.py:41-73)
@@ -124,7 +134,11 @@ class Trainer:
         os.makedirs(self.save_dir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpts"))
         self.logger = MetricLogger(self.save_dir, config=hparams)
-        self.rng = jax.random.PRNGKey(hp.get("seed", 42) + 1)
+        # 'rbg' keys are much cheaper on TPU than threefry (measured ~7
+        # ms/step of threefry bit generation in the train step).
+        self.rng = jax.random.key(
+            hp.get("seed", 42) + 1, impl=hp.get("tpu.prng_impl", "rbg")
+        )
 
         # val cadence: fraction of an epoch (Lightning val_check_interval
         # semantics, train.py:69) or absolute steps when >= 1.
@@ -158,8 +172,7 @@ class Trainer:
                     self.state, self.scene, self.store, k, phase
                 )
             else:
-                batch = self._host_sample_batch(step)
-                batch = jax.tree.map(lambda x: jax.device_put(x, self.bsh), batch)
+                batch = next(self.prefetcher)
                 self.state, metrics = self.batch_step_fn(
                     self.state, self.scene, batch, k, phase
                 )
@@ -192,18 +205,6 @@ class Trainer:
             elif step % self.ckpt_interval == 0:
                 self.ckpt.save(step, self.state)
         return self.state
-
-    def _host_sample_batch(self, step: int) -> Dict[str, np.ndarray]:
-        rng = np.random.RandomState(step)
-        idx = rng.randint(0, self.n_rays, self.cfg.batch_size)
-        s = self.store_np
-        return {
-            "px": s["px"][idx].astype(np.float32),
-            "py": s["py"][idx].astype(np.float32),
-            "img_idx": s["img_idx"][idx],
-            "rgb": s["rgb"][idx].astype(np.float32) / 255.0,
-            "inv_depth": s["inv_depth"][idx].astype(np.float32),
-        }
 
     # --- validation (models/nerf_system.py:231-318) ------------------------
 
