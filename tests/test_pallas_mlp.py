@@ -77,3 +77,33 @@ class TestFusedTrunk:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4
             )
+
+
+class TestFusedNeRFIntegration:
+    def test_apply_nerf_fused_matches_xla(self):
+        from upnerf.models import NeRFConfig, apply_nerf, init_nerf
+
+        cfg = NeRFConfig(
+            D=4, W=32, skips=(2,), feat_dim=16, xyz_L=4, dir_L=2,
+            appearance_dim=8, candidate_dim=4, c2f=(0.1, 0.5),
+        )
+        params = init_nerf(jax.random.PRNGKey(0), cfg)
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        inputs = {
+            "input_xyz": jax.random.normal(ks[0], (6, 5, 3)),
+            "input_dir": jax.random.normal(ks[1], (6, 5, 3)),
+            "input_a": jax.random.normal(ks[2], (6, 5, 8)),
+            "input_c": jax.random.normal(ks[3], (6, 5, 4)),
+        }
+        common = dict(
+            phase=1, sched_mult=jnp.asarray(0.5), progress=jnp.asarray(0.3),
+            precision="float32",
+        )
+        ref = apply_nerf(params, cfg, inputs, **common)
+        out = apply_nerf(
+            params, cfg._replace(fused_trunk=True), inputs, **common
+        )
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), atol=1e-5, err_msg=k
+            )

@@ -261,3 +261,46 @@ class TestRenderParity:
             np.testing.assert_allclose(
                 np.asarray(out[k]), ref_out[k].numpy(), atol=5e-4, err_msg=k
             )
+
+
+class TestLossParity:
+    @pytest.mark.parametrize("phase,sched", [(0, 0.0), (1, 0.42), (2, 1.0)])
+    def test_loss_terms(self, phase, sched):
+        from losses import UPNeRFLoss as RefLoss
+
+        from upnerf.train import LossConfig, compute_loss
+
+        R, F = 16, 8
+        ks = jax.random.split(jax.random.PRNGKey(7), 12)
+        results = {
+            "s_depth_coarse": jax.random.uniform(ks[0], (R,)) * 4,
+            "s_depth_fine": jax.random.uniform(ks[1], (R,)) * 4,
+            "t_weight_coarse": jax.random.uniform(ks[2], (R,)),
+            "t_weight_fine": jax.random.uniform(ks[3], (R,)),
+            "feat_coarse": jax.random.normal(ks[4], (R, F)),
+            "feat_fine": jax.random.normal(ks[5], (R, F)),
+            "s_rgb_coarse": jax.random.uniform(ks[6], (R, 3)),
+            "s_rgb_fine": jax.random.uniform(ks[7], (R, 3)),
+            "t_beta": jax.random.uniform(ks[8], (R,)) + 0.1,
+            "t_alpha": jax.random.uniform(ks[9], (R,)),
+        }
+        rgbs = jax.random.uniform(ks[10], (R, 3))
+        feats = jax.random.normal(ks[11], (R, F))
+        depths = jnp.ones((R,)) * 2.0
+
+        cfg = LossConfig(depth_mult=1e-3, alpha_reg=1.0, encode_feat=True, fine=True)
+        mine = compute_loss(
+            cfg, results, rgbs, feats, depths, jnp.asarray(sched), phase
+        )
+
+        ref_loss = RefLoss(depth_mult=1e-3, alpha_reg=1.0, encode_feat=True, fine=True)
+        ref_in = {k: _t(v) for k, v in results.items()}
+        # reference consumes (B, 1)-shaped beta (losses.py:60)
+        ref_in["t_beta"] = ref_in["t_beta"][:, None]
+        theirs = ref_loss(ref_in, _t(rgbs), _t(feats), _t(depths), sched)
+
+        assert set(mine) == set(theirs)
+        for k in theirs:
+            np.testing.assert_allclose(
+                float(mine[k]), float(theirs[k]), atol=1e-5, err_msg=k
+            )

@@ -21,7 +21,6 @@ fixtures and tools can round-trip models.
 from __future__ import annotations
 
 import collections
-import os
 import struct
 from typing import Dict
 

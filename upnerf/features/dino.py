@@ -11,7 +11,7 @@ block 9, drop the CLS token, reshape to (gh, gw, 384), and also fit a
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ select with NeRFConfig/tpu flags.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -187,6 +187,13 @@ def _fused_bwd(skips, tile, precision, res, g):
     N, in0 = x.shape
     D = len(params)
     width = params[0][0].shape[1]
+    # The bwd kernel holds inputs+acts for the whole chain (~2*D buffers of
+    # tile x width) — at tile 1024 that exceeds the 16 MB VMEM budget
+    # (measured 18.5 MB); halve until it fits.
+    while tile > 128 and (2 * D + 4) * tile * width * 4 + 3 * D * width * width * 4 > 14 * 2**20:
+        tile //= 2
+    if N % tile != 0:
+        tile = 128
     flat = []
     for w, b in params:
         flat += [w, b]

@@ -35,7 +35,7 @@ from upnerf.utils import CheckpointManager, MetricLogger, get_pca_img, visualize
 from .optim import learning_rate_at, make_optimizer
 from .schedules import schedule_phase
 from .state import RayStore, SceneConstants, TrainState, init_params, init_pose_params
-from .step import StepConfig, gather_batch, make_eval_render, make_train_step
+from .step import StepConfig, make_eval_render, make_train_step
 
 
 class Trainer:

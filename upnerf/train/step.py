@@ -18,7 +18,6 @@ replicated; XLA inserts the gradient all-reduce automatically.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
