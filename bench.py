@@ -29,7 +29,15 @@ STEPS_MEASURE = 20
 
 
 def main():
+    import os
+
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("UPNERF_COMPILE_CACHE", "/tmp/upnerf_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _build, _flagship
     from upnerf.train import make_train_step

@@ -113,8 +113,10 @@ def main(args) -> None:
             imgs.append(img)
             Ks.append(meta.Ks[id_])
             whs.append([img.shape[1], img.shape[0]])
-        Hm = max(i.shape[0] for i in imgs)
-        Wm = max(i.shape[1] for i in imgs)
+        # bucket padded sizes to 64-multiples: one compiled step shape
+        # serves many groups despite heterogeneous image sizes
+        Hm = -(-max(i.shape[0] for i in imgs) // 64) * 64
+        Wm = -(-max(i.shape[1] for i in imgs) // 64) * 64
         rgbs = np.zeros((len(imgs), Hm, Wm, 3), np.uint8)
         for i, img in enumerate(imgs):
             rgbs[i, : img.shape[0], : img.shape[1]] = img

@@ -242,12 +242,20 @@ def make_tto_eval(
     return render_full
 
 
-def tto_region_size(wh: np.ndarray, x_frac: Tuple[float, float]) -> Tuple[int, int]:
-    """Max (H, W_region) over a group for the padded eval grid."""
+def tto_region_size(
+    wh: np.ndarray, x_frac: Tuple[float, float], bucket: int = 64
+) -> Tuple[int, int]:
+    """Max (H, W_region) over a group for the padded eval grid, rounded up
+    to `bucket` multiples — Phototourism images all differ in size, and
+    bucketing caps the number of distinct compiled shapes across groups."""
     w = wh[:, 0]
     h = wh[:, 1]
     region_w = np.ceil(w * x_frac[1]) - np.floor(w * x_frac[0])
-    return int(h.max()), int(region_w.max())
+
+    def up(v):
+        return int(-(-int(v) // bucket) * bucket)
+
+    return up(h.max()), up(region_w.max())
 
 
 def run_tto_group(
