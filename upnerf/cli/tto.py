@@ -135,12 +135,17 @@ def main(args) -> None:
         out = run_tto_group(
             frozen, cfg, group, hparams["nerf.appearance_dim"], k, lpips=lpips
         )
+        emb_dir = os.path.join(save_root, "optimized_emb_a")
+        os.makedirs(emb_dir, exist_ok=True)
         for i, n in enumerate(group_nums):
             np.save(
                 os.path.join(
                     save_root, "optimized_pose", f"best_pose_{n:02d}.npy"
                 ),
                 out["pose"][i],
+            )
+            np.save(
+                os.path.join(emb_dir, f"best_emb_{n:02d}.npy"), out["emb"][i]
             )
             all_metrics[str(n)] = {
                 "psnr": float(out["psnr"][i]),

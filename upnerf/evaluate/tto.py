@@ -331,15 +331,18 @@ def run_tto_group(
         "ssim": np.zeros(G),
         "lpips": np.full(G, np.nan),
     }
+    best_emb = np.zeros((G, appearance_dim), np.float32)
     for epoch in range(cfg.appearance_epochs):
         for _ in range(epoch_steps_B):
             key, k = jax.random.split(key)
             trainables, opt_state, loss = step(trainables, opt_state, group_B, k)
         preds, gts = render_right(trainables, group_B, Hm, Wm)
         cur = _masked_psnr(preds, gts, wh, (0.5, 1.0))
+        emb_now = np.asarray(trainables["fine_a"])
         for g in range(G):
             if cur[g] > best["psnr"][g]:
                 best["psnr"][g] = cur[g]
+                best_emb[g] = emb_now[g]
                 pg, gg, (hh, ww) = _crop(preds, gts, wh, g, (0.5, 1.0))
                 best["ssim"][g] = float(ssim_fn(pg, gg))
                 if lpips is not None:
@@ -353,6 +356,10 @@ def run_tto_group(
         "lpips": best["lpips"],
         "pose": best_pose,
         "pose_psnr": best_psnr,
+        # best appearance embedding per image (the reference persists this,
+        # misleadingly named best_pose_XX.npy in phase B,
+        # models/nerf_system_optmize.py:206-210)
+        "emb": best_emb,
     }
 
 

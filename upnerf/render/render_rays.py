@@ -83,20 +83,15 @@ def _inference(
     R, S = z_vals.shape
     inputs = {
         "input_xyz": xyz,
+        # Per-RAY conditioning (apply_nerf broadcasts via split matmuls).
         # Directions are detached as MLP inputs: pose gradients flow only
         # through sample positions (models/rendering.py:104-106).
-        "input_dir": jnp.broadcast_to(
-            jax.lax.stop_gradient(rays_d)[:, None, :], (R, S, 3)
-        ),
+        "input_dir": jax.lax.stop_gradient(rays_d),
     }
     if nerf_cfg.encode_appearance:
-        inputs["input_a"] = jnp.broadcast_to(
-            a_emb[:, None, :], (R, S, a_emb.shape[-1])
-        )
+        inputs["input_a"] = a_emb
     if nerf_cfg.encode_candidate and encode_candidate:
-        inputs["input_c"] = jnp.broadcast_to(
-            c_emb[:, None, :], (R, S, c_emb.shape[-1])
-        )
+        inputs["input_c"] = c_emb
 
     def _apply(p, inp, sm, pr):
         return apply_nerf(
