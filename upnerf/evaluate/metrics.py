@@ -43,9 +43,13 @@ def ssim(
     C1 = (0.01 * max_val) ** 2
     C2 = (0.03 * max_val) ** 2
 
-    def filt(x):  # (H, W, C) -> valid conv per channel
+    pad = window_size // 2
+
+    def filt(x):  # (H, W, C) -> same-size conv, reflect border (kornia
+        # filter2d default border_type='reflect')
         from jax import lax
 
+        x = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
         x = jnp.moveaxis(x, -1, 0)[:, None]  # (C, 1, H, W)
         k = kernel[None, None]
         y = lax.conv_general_dilated(x, k, (1, 1), "VALID")

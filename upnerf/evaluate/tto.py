@@ -98,8 +98,11 @@ def _sample_pixels(key, wh, x_frac: Tuple[float, float], B: int):
     h = wh[:, 1].astype(jnp.float32)[:, None]
     ux = jax.random.uniform(kx, (G, B))
     uy = jax.random.uniform(ky, (G, B))
+    # floor at both cut points so the left-half train region [0, w//2) and
+    # the right-half eval region [w//2, w) never overlap at odd widths
+    # (datasets/phototourism_optimize.py:192,225 slice at img_w // 2)
     x_lo = jnp.floor(w * x_frac[0])
-    x_hi = jnp.ceil(w * x_frac[1])
+    x_hi = jnp.floor(w * x_frac[1]) if x_frac[1] < 1.0 else w
     px = jnp.clip(jnp.floor(x_lo + ux * (x_hi - x_lo)), 0, w - 1)
     py = jnp.clip(jnp.floor(uy * h), 0, h - 1)
     return px, py
@@ -250,7 +253,8 @@ def tto_region_size(
     bucketing caps the number of distinct compiled shapes across groups."""
     w = wh[:, 0]
     h = wh[:, 1]
-    region_w = np.ceil(w * x_frac[1]) - np.floor(w * x_frac[0])
+    x_hi = np.floor(w * x_frac[1]) if x_frac[1] < 1.0 else w
+    region_w = x_hi - np.floor(w * x_frac[0])
 
     def up(v):
         return int(-(-int(v) // bucket) * bucket)
@@ -366,7 +370,7 @@ def run_tto_group(
 def _region_bounds(wh, g, x_frac):
     w, h = int(wh[g, 0]), int(wh[g, 1])
     x_lo = int(np.floor(w * x_frac[0]))
-    x_hi = int(np.ceil(w * x_frac[1])) if x_frac[1] < 1.0 else w
+    x_hi = int(np.floor(w * x_frac[1])) if x_frac[1] < 1.0 else w
     return x_lo, x_hi, h
 
 
