@@ -51,7 +51,6 @@ def main():
     step, _ = make_train_step(cfg, opt, pose_opt, donate=True)
 
     phase = 1  # blended phase: all heads live — the most expensive program
-    key = jax.random.key(0, impl="rbg")
 
     # Scalar readout that depends on the updated parameters: through the
     # axon tunnel, block_until_ready() does NOT wait for remote execution,
@@ -60,14 +59,12 @@ def main():
     readout = jax.jit(lambda s: s.params["nerf_coarse"]["trunk"][0]["w"].sum())
 
     for i in range(STEPS_WARMUP):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, scene, store, k, phase)
+        state, metrics = step(state, scene, store, phase)
     float(readout(state))
 
     t0 = time.perf_counter()
     for i in range(STEPS_MEASURE):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, scene, store, k, phase)
+        state, metrics = step(state, scene, store, phase)
     float(readout(state))
     dt = time.perf_counter() - t0
 

@@ -26,6 +26,7 @@ TINY_T = TransientConfig(beta_min=0.1, transient_dim=8, feat_dim=8)
 
 def tiny_step_config(batch_size=64, max_steps=100, pose_optimize=True):
     return StepConfig(
+        prng_impl="rbg",
         nerf=TINY_NERF,
         transient=TINY_T,
         render=RenderConfig(
@@ -90,5 +91,6 @@ def tiny_state(cfg: StepConfig, n_img=3, seed=0, lr=5e-3, pose_lr=2e-3):
         pose_params=pose_params,
         opt_state=opt.init(params),
         pose_opt_state=pose_opt.init(pose_params),
+        rng=jax.random.key_data(jax.random.key(seed + 1, impl="rbg")),
     )
     return state, opt, pose_opt

@@ -23,7 +23,7 @@ class TestTrainStep:
     @pytest.mark.parametrize("phase", [0, 1, 2])
     def test_runs_all_phases(self, setup, phase):
         cfg, scene, store, state, step, _ = setup
-        new_state, metrics = step(state, scene, store, jax.random.PRNGKey(0), phase)
+        new_state, metrics = step(state, scene, store, phase)
         assert int(new_state.step) == int(state.step) + 1
         assert np.isfinite(float(metrics["loss"]))
         expected = {
@@ -39,13 +39,13 @@ class TestTrainStep:
         losses = []
         s = state
         for i in range(12):
-            s, m = step(s, scene, store, jax.random.PRNGKey(i), 0)
+            s, m = step(s, scene, store, 0)
             losses.append(float(m["loss"]))
         assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
     def test_pose_params_update_only_when_optimizing(self, setup):
         cfg, scene, store, state, step, _ = setup
-        s1, _ = step(state, scene, store, jax.random.PRNGKey(0), 1)
+        s1, _ = step(state, scene, store, 1)
         # depth_scale feeds the depth loss -> nonzero grad -> it must move
         assert np.abs(np.asarray(s1.pose_params["depth_scale"])).max() > 0
         assert np.abs(np.asarray(s1.pose_params["se3"])).max() > 0
@@ -53,14 +53,14 @@ class TestTrainStep:
         cfg_np = tiny_step_config(pose_optimize=False)
         state_np, opt, pose_opt = tiny_state(cfg_np)
         step_np, _ = make_train_step(cfg_np, opt, pose_opt)
-        s2, _ = step_np(state_np, scene, store, jax.random.PRNGKey(0), 1)
+        s2, _ = step_np(state_np, scene, store, 1)
         assert np.abs(np.asarray(s2.pose_params["se3"])).max() == 0
 
     def test_progress_drives_schedule(self, setup):
         cfg, scene, store, state, step, _ = setup
         # At step 60/100 -> progress 0.6 > end -> phase 2 behavior expected.
         state60 = state._replace(step=jnp.asarray(60, jnp.int32))
-        _, m = step(state60, scene, store, jax.random.PRNGKey(0), 2)
+        _, m = step(state60, scene, store, 2)
         assert float(m["psnr"]) != 0.0
 
 
@@ -72,16 +72,14 @@ class TestSharding:
 
         idx = jnp.arange(64)
         batch = gather_batch(store, idx)
-        out_ref, m_ref = batch_step(state, scene, batch, jax.random.PRNGKey(0), 1)
+        out_ref, m_ref = batch_step(state, scene, batch, 1)
 
         bsh = batch_sharding(mesh)
         rsh = replicated_sharding(mesh)
         batch_sharded = jax.tree.map(lambda x: jax.device_put(x, bsh), batch)
         state_repl = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
         scene_repl = jax.tree.map(lambda x: jax.device_put(x, rsh), scene)
-        out_sh, m_sh = batch_step(
-            state_repl, scene_repl, batch_sharded, jax.random.PRNGKey(0), 1
-        )
+        out_sh, m_sh = batch_step(state_repl, scene_repl, batch_sharded, 1)
         np.testing.assert_allclose(
             float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-4
         )

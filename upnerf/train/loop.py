@@ -132,6 +132,11 @@ class Trainer:
             pose_params=pose_params,
             opt_state=self.optimizer.init(params),
             pose_opt_state=self.pose_optimizer.init(pose_params),
+            rng=jax.random.key_data(
+                jax.random.key(
+                    hp.get("seed", 42) + 1, impl=self.cfg.prng_impl
+                )
+            ),
         )
         self.state = jax.device_put(state, self.repl)
 
@@ -148,11 +153,6 @@ class Trainer:
         os.makedirs(self.save_dir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpts"))
         self.logger = MetricLogger(self.save_dir, config=hparams)
-        # 'rbg' keys are much cheaper on TPU than threefry (measured ~7
-        # ms/step of threefry bit generation in the train step).
-        self.rng = jax.random.key(
-            hp.get("seed", 42) + 1, impl=hp.get("tpu.prng_impl", "rbg")
-        )
 
         # val cadence: fraction of an epoch (Lightning val_check_interval
         # semantics, train.py:69) or absolute steps when >= 1.
@@ -180,15 +180,14 @@ class Trainer:
             phase = schedule_phase(
                 step / self.max_steps, self.cfg.candidate_schedule
             )
-            self.rng, k = jax.random.split(self.rng)
             if self.store_on_device:
                 self.state, metrics = self.step_fn(
-                    self.state, self.scene, self.store, k, phase
+                    self.state, self.scene, self.store, phase
                 )
             else:
                 batch = next(self.prefetcher)
                 self.state, metrics = self.batch_step_fn(
-                    self.state, self.scene, batch, k, phase
+                    self.state, self.scene, batch, phase
                 )
             step += 1
             window_rays += self.cfg.batch_size
@@ -273,9 +272,13 @@ class Trainer:
                 ).astype(np.float32)
                 / 255.0
             )
+            # val PSNR uses the transient-COMPOSITED rgb when present
+            # (models/nerf_system.py:266-269)
             typ = "fine" if self.cfg.loss.fine else "coarse"
-            key = f"s_rgb_{typ}"
-            if key in out:
+            key = next(
+                (k for k in (f"rgb_{typ}", f"s_rgb_{typ}") if k in out), None
+            )
+            if key is not None:
                 psnrs.append(float(psnr_fn(jnp.asarray(out[key]), jnp.asarray(rgb_gt))))
             if not self.debug:
                 self._log_val_images(step, img_i, out, rgb_gt, (w, h))

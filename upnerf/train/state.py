@@ -65,6 +65,9 @@ class TrainState(NamedTuple):
     pose_params: Dict[str, jnp.ndarray]  # {"se3": (N,6), "depth_scale": (N,2)}
     opt_state: Any
     pose_opt_state: Any
+    rng: Any = None  # RAW PRNG key data (uint32, jax.random.key_data) —
+    # wrapped inside the jitted step and split there; stored raw so orbax
+    # checkpoints it and resume reproduces the exact sample stream
 
 
 def init_params(
@@ -136,6 +139,12 @@ def build_train_state(hparams: Dict[str, Any], n_images: int) -> TrainState:
         pose_params=pose_params,
         opt_state=opt.init(params),
         pose_opt_state=pose_opt.init(pose_params),
+        rng=jax.random.key_data(
+            jax.random.key(
+                hparams.get("seed", 42) + 1,
+                impl=hparams.get("tpu.prng_impl", "rbg"),
+            )
+        ),
     )
 
 

@@ -48,6 +48,7 @@ class StepConfig(NamedTuple):
     near: float  # global clamp bounds for the depth prior
     far: float
     batch_size: int
+    prng_impl: str = "rbg"
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "StepConfig":
@@ -62,6 +63,7 @@ class StepConfig(NamedTuple):
             near=hp["nerf.near"],
             far=hp["nerf.far"],
             batch_size=hp["train.batch_size"],
+            prng_impl=hp.get("tpu.prng_impl", "rbg"),
         )
 
 
@@ -237,30 +239,36 @@ def make_train_step(
     shuffle over ~1e8 rays is statistically indistinguishable; intentional
     deviation)."""
 
+    def _keys(state):
+        """Wrap the checkpointed raw key data and derive this step's keys.
+        Returns (k_sample, k_render, next_raw)."""
+        key = jax.random.wrap_key_data(state.rng, impl=cfg.prng_impl)
+        k_carry, k_sample, k_render = jax.random.split(key, 3)
+        return k_sample, k_render, jax.random.key_data(k_carry)
+
     def step_fn(
         state: TrainState,
         scene: SceneConstants,
         store: RayStore,
-        key: jax.Array,
         phase: int,
     ):
-        k_sample, k_render = jax.random.split(key)
+        k_sample, k_render, next_raw = _keys(state)
         idx = jax.random.randint(
             k_sample, (cfg.batch_size,), 0, store.n_rays, dtype=jnp.int32
         )
         batch = gather_batch(store, idx)
-        return _update(state, scene, batch, k_render, phase)
+        return _update(state, scene, batch, k_render, next_raw, phase)
 
     def batch_step_fn(
         state: TrainState,
         scene: SceneConstants,
         batch: Dict[str, jnp.ndarray],
-        key: jax.Array,
         phase: int,
     ):
-        return _update(state, scene, batch, key, phase)
+        _, k_render, next_raw = _keys(state)
+        return _update(state, scene, batch, k_render, next_raw, phase)
 
-    def _update(state, scene, batch, key, phase):
+    def _update(state, scene, batch, key, next_raw, phase):
         progress = state.step.astype(jnp.float32) / cfg.max_steps
         sched = schedule_mult(progress, cfg.candidate_schedule)
 
@@ -293,6 +301,7 @@ def make_train_step(
             pose_params=pose_params,
             opt_state=opt_state,
             pose_opt_state=pose_opt_state,
+            rng=next_raw,
         )
         return new_state, metrics
 
