@@ -96,3 +96,26 @@ def test_validate_renders_full_image(hp):
     assert out["s_depth_fine"].shape == (n,)
     val_psnr = trainer.validate(int(trainer.state.step))
     assert np.isfinite(val_psnr)
+
+
+def test_ckpt_restores_pre_rng_checkpoints(tmp_path, hp):
+    """Checkpoints written before the `rng` state field existed must still
+    restore (the field falls back to its freshly-initialized value)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upnerf.train.state import TrainState, build_train_state
+    from upnerf.utils.ckpt import CheckpointManager
+
+    state = build_train_state(hp, n_images=3)
+    old_style = {f: getattr(state, f) for f in state._fields if f != "rng"}
+    mngr = CheckpointManager(str(tmp_path / "ckpts"))
+    mngr.save(1, old_style)
+    restored = mngr.restore(state)
+    mngr.close()
+    assert isinstance(restored, TrainState)
+    assert restored.rng is not None
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["embeddings"]["coarse_a"]),
+        np.asarray(state.params["embeddings"]["coarse_a"]),
+    )

@@ -107,3 +107,65 @@ class TestFusedNeRFIntegration:
             np.testing.assert_allclose(
                 np.asarray(out[k]), np.asarray(ref[k]), atol=1e-5, err_msg=k
             )
+
+
+class TestFusedStaticRender:
+    """Mega-kernel (trunk+heads+compositing) vs the XLA phase-2 path."""
+
+    def _setup(self):
+        from upnerf.models import NeRFConfig, init_nerf
+        from upnerf.ops import pallas_render
+
+        pallas_render.INTERPRET = True
+        cfg = NeRFConfig(
+            D=4, W=32, skips=(2,), feat_dim=16, xyz_L=4, dir_L=2,
+            appearance_dim=8, candidate_dim=4, c2f=(0.1, 0.5),
+        )
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        params = {
+            "nerf_coarse": init_nerf(ks[0], cfg),
+            "nerf_fine": init_nerf(ks[1], cfg),
+            "embeddings": {
+                "coarse_a": jax.random.normal(ks[2], (3, 8)),
+                "fine_a": jax.random.normal(ks[3], (3, 8)),
+                "coarse_c": jax.random.normal(ks[4], (3, 4)),
+                "fine_c": jax.random.normal(ks[5], (3, 4)),
+            },
+        }
+        o = jax.random.normal(ks[6], (16, 3)) * 0.1
+        d = jax.random.normal(ks[7], (16, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.concatenate(
+            [o, d, jnp.full((16, 1), 0.5), jnp.full((16, 1), 4.0)], -1
+        )
+        return cfg, params, rays, jnp.arange(16) % 3
+
+    def test_phase2_render_parity_and_grads(self):
+        from upnerf.render import RenderConfig, render_rays
+
+        cfg, params, rays, idx = self._setup()
+        common = dict(
+            key=None, phase=2, sched_mult=jnp.asarray(1.0),
+            progress=jnp.asarray(1.0), det=True,
+        )
+        rc_x = RenderConfig(
+            N_samples=8, N_importance=8, precision="float32", fused_render=False
+        )
+        out_x = render_rays(params, rc_x, cfg, rays, idx, **common)
+        out_f = render_rays(
+            params, rc_x._replace(fused_render=True), cfg, rays, idx, **common
+        )
+        assert set(out_x) == set(out_f)
+        for k in out_x:
+            np.testing.assert_allclose(
+                np.asarray(out_f[k]), np.asarray(out_x[k]), atol=1e-5, err_msg=k
+            )
+
+        def loss(p, rc):
+            o = render_rays(p, rc, cfg, rays, idx, **common)
+            return (o["s_rgb_fine"] ** 2).sum() + o["s_depth_coarse"].sum() * 0.1
+
+        gx = jax.grad(loss)(params, rc_x)
+        gf = jax.grad(loss)(params, rc_x._replace(fused_render=True))
+        for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -52,7 +52,12 @@ def ssim(
         x = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
         x = jnp.moveaxis(x, -1, 0)[:, None]  # (C, 1, H, W)
         k = kernel[None, None]
-        y = lax.conv_general_dilated(x, k, (1, 1), "VALID")
+        # fp32 conv is essential: with the TPU default (bf16) the variance
+        # terms E[x^2] - mu^2 cancel catastrophically and SSIM denominators
+        # near C2 go negative (observed |SSIM| >> 1 on real renders)
+        y = lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+        )
         return jnp.moveaxis(y[:, 0], 0, -1)
 
     mu_p = filt(pred)

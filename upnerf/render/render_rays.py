@@ -31,6 +31,14 @@ from . import volume
 from .sampling import sample_pdf, stratified_z_vals
 
 
+def _auto_fused(flag):
+    if flag is not None:
+        return bool(flag)
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class RenderConfig(NamedTuple):
     """Static rendering hyperparameters."""
 
@@ -40,6 +48,9 @@ class RenderConfig(NamedTuple):
     perturb: float = 1.0
     encode_feat: bool = True
     precision: str = "high"
+    # Fuse trunk+heads+compositing into one Pallas kernel for the static
+    # (phase-2) render path (upnerf.ops.pallas_render). Auto-on for TPU.
+    fused_render: bool = False
     # Rematerialize the NeRF MLP in the backward pass. The flagship config
     # (2048 rays x 384 samples) fits a 16 GB v5e chip without remat and runs
     # ~1.25x faster that way (measured); enable for bigger batches/models.
@@ -55,6 +66,7 @@ class RenderConfig(NamedTuple):
             encode_feat=hp["nerf.feat_dim"] > 0,
             precision=hp.get("tpu.matmul_precision", "high"),
             remat=hp.get("tpu.remat", False),
+            fused_render=_auto_fused(hp.get("tpu.fused_render")),
         )
 
 
@@ -75,12 +87,28 @@ def _inference(
     encode_candidate: bool,
     precision: str,
     remat: bool = False,
+    fused_render: bool = False,
 ) -> None:
     """One NeRF evaluation + compositing pass (models/rendering.py:86-219).
 
     Mutates `results` with keys suffixed by `typ` ('coarse' | 'fine').
     """
     R, S = z_vals.shape
+    use_candidate = nerf_cfg.encode_candidate and encode_candidate and phase < 2
+    if (
+        phase == 2
+        and not use_candidate
+        and nerf_cfg.encode_feat
+        and nerf_cfg.encode_appearance
+        and fused_render
+        and R % 8 == 0
+    ):
+        _fused_static_path(
+            results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d, a_emb,
+            progress=progress, precision=precision,
+        )
+        return
+
     inputs = {
         "input_xyz": xyz,
         # Per-RAY conditioning (apply_nerf broadcasts via split matmuls).
@@ -160,6 +188,63 @@ def _inference(
     results[f"s_depth_{typ}"] = volume.depth_map(only_s_weights, z_vals)
 
 
+def _fused_static_path(
+    results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d, a_emb,
+    *, progress, precision,
+) -> None:
+    """Phase-2 static render through the Pallas mega-kernel
+    (upnerf.ops.pallas_render): trunk + sigma/feat/rgb heads + alpha
+    compositing fused; emits the same result keys as the XLA path
+    (s_weights/s_rgb/s_depth)."""
+    from upnerf.models.nerf import pe_weight, positional_encoding
+    from upnerf.ops.pallas_render import fused_static_render
+
+    R, S = z_vals.shape
+    w_xyz = (
+        pe_weight(progress, nerf_cfg.xyz_L, nerf_cfg.c2f)
+        if nerf_cfg.c2f is not None
+        else None
+    )
+    x0 = positional_encoding(xyz, nerf_cfg.xyz_L, w_xyz).reshape(R * S, -1)
+
+    w_dir = (
+        pe_weight(progress, nerf_cfg.dir_L, nerf_cfg.c2f)
+        if nerf_cfg.c2f is not None
+        else None
+    )
+    dir_pe = positional_encoding(
+        jax.lax.stop_gradient(rays_d), nerf_cfg.dir_L, w_dir
+    )  # (R, 27)
+    rgb1 = nerf_params["rgb_share"][0]
+    feat_dim = nerf_cfg.feat_dim
+    d_dir = dir_pe.shape[-1]
+    # split matmul: concat(feat, dir_pe, a) @ W == feat@W0 + dir@W1 + a@W2
+    ray_cond = (
+        dir_pe @ rgb1["w"][feat_dim : feat_dim + d_dir]
+        + a_emb @ rgb1["w"][feat_dim + d_dir :]
+        + rgb1["b"]
+    )
+
+    trunk = tuple((p["w"], p["b"]) for p in nerf_params["trunk"])
+    head = {
+        "sigma_w": nerf_params["share_sigma"]["w"],
+        "sigma_b": nerf_params["share_sigma"]["b"],
+        "xyzf_w": nerf_params["xyz_final"]["w"],
+        "xyzf_b": nerf_params["xyz_final"]["b"],
+        "feat_w": nerf_params["feat_share"]["w"],
+        "feat_b": nerf_params["feat_share"]["b"],
+        "rgb1_w": rgb1["w"][:feat_dim],
+        "rgb2_w": nerf_params["rgb_share"][1]["w"],
+        "rgb2_b": nerf_params["rgb_share"][1]["b"],
+    }
+    rgb_map, depth, weights = fused_static_render(
+        x0, z_vals, ray_cond, trunk, head, nerf_cfg.skips, 8, precision
+    )
+    results[f"s_weights_{typ}"] = weights
+    results[f"s_rgb_{typ}"] = rgb_map
+    results[f"s_depth_{typ}"] = depth[:, 0]
+
+
 def render_rays(
     params: Dict[str, Any],
     cfg: RenderConfig,
@@ -225,6 +310,7 @@ def render_rays(
         encode_candidate=encode_candidate,
         precision=cfg.precision,
         remat=cfg.remat,
+        fused_render=cfg.fused_render,
     )
 
     if cfg.N_importance > 0:
@@ -265,5 +351,6 @@ def render_rays(
             encode_candidate=encode_candidate,
             precision=cfg.precision,
             remat=cfg.remat,
+            fused_render=cfg.fused_render,
         )
     return results

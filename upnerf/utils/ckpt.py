@@ -50,12 +50,29 @@ class CheckpointManager:
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of `state_like` (an abstract or
-        concrete state pytree)."""
+        concrete state pytree). Fields added to the state after a checkpoint
+        was written (e.g. `rng`) fall back to their `state_like` values via
+        a partial restore."""
         if step is None:
             step = self.latest_step()
         assert step is not None, f"no checkpoint in {self.directory}"
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
-        return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
+        try:
+            return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
+        except ValueError:
+            # Checkpoint predates the `rng` state field: a None field is an
+            # empty subtree, so the target then matches the old structure.
+            if hasattr(target, "_fields") and hasattr(target, "rng"):
+                old_target = {
+                    f: getattr(target, f) for f in target._fields if f != "rng"
+                }
+                restored = self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(old_target)
+                )
+                return type(state_like)(
+                    rng=getattr(state_like, "rng", None), **restored
+                )
+            raise
 
     def close(self):
         self._mngr.close()
