@@ -144,136 +144,6 @@ def _head_list(head: Dict):
     return [head[k] for k in _HEAD_KEYS]
 
 
-def _bwd_kernel(
-    x_ref, z_ref, cond_ref, *refs,
-    D, skips, S, n_head, in0, compute_dtype,
-):
-    # refs: trunk(2D), head(n_head), cotangents g_rgb, g_depth, g_w, then
-    # outputs: dx, dcond, trunk dW/db (2D), head grads (n_head)
-    weights = [(refs[2 * i][:], refs[2 * i + 1][:]) for i in range(D)]
-    hoff = 2 * D
-    head = _unpack_head(refs, hoff)
-    g_rgb_ref = refs[hoff + n_head]
-    g_depth_ref = refs[hoff + n_head + 1]
-    g_w_ref = refs[hoff + n_head + 2]
-    out_off = hoff + n_head + 3
-    dx_ref = refs[out_off]
-    dcond_ref = refs[out_off + 1]
-    dtrunk_refs = refs[out_off + 2 : out_off + 2 + 2 * D]
-    dhead_refs = refs[out_off + 2 + 2 * D :]
-
-    step = pl.program_id(0)
-    x0 = x_ref[:]
-    z = z_ref[:]
-    cond = cond_ref[:]
-    (sigma, feat, rgb, rgbh, xyzf, acts, alpha, T, w, rgb_map, depth, deltas) = (
-        _forward_tile(x0, z, cond, weights, head, D, skips, S, compute_dtype)
-    )
-    Rt = z.shape[0]
-
-    g_rgb_map = g_rgb_ref[:].astype(jnp.float32)  # (Rt, 3)
-    g_depth = g_depth_ref[:].astype(jnp.float32)  # (Rt,... ) (Rt, 1)? keep (Rt,)
-    g_w_in = g_w_ref[:].astype(jnp.float32)  # (Rt, S)
-
-    rgb_r = rgb.reshape(Rt, S, 3)
-    # dw: from rgb_map, depth and direct weight cotangent
-    dw = (
-        (rgb_r * g_rgb_map[:, None, :]).sum(-1)
-        + g_depth * z  # g_depth (Rt, 1) broadcasts
-        + g_w_in
-    )  # (Rt, S)
-    drgb = (w[..., None] * g_rgb_map[:, None, :]).reshape(Rt * S, 3)
-
-    # w = alpha * T; T = exp(SL), SL = excl_cumsum(L), L = log(max(1-a, eps))
-    dalpha = dw * T
-    dT = dw * alpha
-    dSL = dT * T
-    # reverse exclusive cumsum: dL_j = sum_{i > j} dSL_i
-    triu = (
-        jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-        < jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    ).astype(jnp.float32).T
-    dL = jnp.dot(dSL, triu, preferred_element_type=jnp.float32)
-    one_m_a = 1.0 - alpha
-    dalpha = dalpha - jnp.where(one_m_a > _EPS, dL / jnp.maximum(one_m_a, _EPS), 0.0)
-    # alpha = 1 - exp(-delta sigma) -> d/dsigma = delta * (1 - alpha)
-    dsigma_r = dalpha * deltas * jnp.maximum(one_m_a, 0.0)
-    dsigma = dsigma_r.reshape(Rt * S, 1)
-
-    # rgb head backward
-    srgb = rgb  # sigmoid output
-    d_rgb2_in = drgb * srgb * (1.0 - srgb)
-    dW_rgb2 = _dot(rgbh.T, d_rgb2_in, compute_dtype)
-    db_rgb2 = d_rgb2_in.sum(0)
-    d_rgbh = _dot(d_rgb2_in, head["rgb2_w"].T, compute_dtype)
-    d_rgbh = d_rgbh * (rgbh > 0)
-    dcond = d_rgbh.reshape(Rt, S, -1).sum(axis=1)
-    dW_rgb1 = _dot(feat.T, d_rgbh, compute_dtype)
-    dfeat = _dot(d_rgbh, head["rgb1_w"].T, compute_dtype)
-
-    # feat head backward
-    dW_feat = _dot(xyzf.T, dfeat, compute_dtype)
-    db_feat = dfeat.sum(0)
-    dxyzf = _dot(dfeat, head["feat_w"].T, compute_dtype)
-    dW_xyzf = _dot(acts[-1].T, dxyzf, compute_dtype)
-    db_xyzf = dxyzf.sum(0)
-
-    # sigma head backward (softplus')
-    pre_sig = sigma  # softplus output; sigmoid(pre) = 1 - exp(-softplus)
-    dsig_pre = dsigma * (1.0 - jnp.exp(-pre_sig))
-    dW_sig = _dot(acts[-1].T, dsig_pre, compute_dtype)
-    db_sig = dsig_pre.sum(0)
-
-    dh = (
-        _dot(dxyzf, head["xyzf_w"].T, compute_dtype)
-        + _dot(dsig_pre, head["sigma_w"].T, compute_dtype)
-    )
-
-    # trunk backward (same scheme as pallas_mlp)
-    inputs, acts2 = _trunk_chain(x0, weights, D, skips, compute_dtype)
-    g = dh
-    dx0 = jnp.zeros_like(x0, dtype=jnp.float32)
-    dWs = []
-    for i in reversed(range(D)):
-        wte, _ = weights[i]
-        g = g * (acts2[i] > 0)
-        dW = _dot(inputs[i].T, g, compute_dtype)
-        db = g.sum(axis=0)
-        dWs.append((i, dW, db))
-        g_in = jnp.dot(g, wte.T, preferred_element_type=jnp.float32)
-        if i in skips and i > 0:
-            dx0 = dx0 + g_in[:, :in0]
-            g = g_in[:, in0:]
-        elif i == 0:
-            dx0 = dx0 + g_in
-        else:
-            g = g_in
-
-    dhead_vals = [
-        dW_sig, db_sig, dW_xyzf, db_xyzf, dW_feat, db_feat,
-        dW_rgb1, dW_rgb2, db_rgb2,
-    ]
-
-    @pl.when(step == 0)
-    def _init():
-        for i, dW, db in dWs:
-            dtrunk_refs[2 * i][:] = dW
-            dtrunk_refs[2 * i + 1][:] = db
-        for r, v in zip(dhead_refs, dhead_vals):
-            r[:] = v
-
-    @pl.when(step != 0)
-    def _acc():
-        for i, dW, db in dWs:
-            dtrunk_refs[2 * i][:] = dtrunk_refs[2 * i][:] + dW
-            dtrunk_refs[2 * i + 1][:] = dtrunk_refs[2 * i + 1][:] + db
-        for r, v in zip(dhead_refs, dhead_vals):
-            r[:] = r[:] + v
-
-    dx_ref[:] = dx0
-    dcond_ref[:] = dcond
-
-
 def _vmem(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
@@ -352,80 +222,55 @@ def _render_fwd(x0, z_vals, ray_cond, trunk, head, skips, ray_tile, precision, i
 
 
 def _render_bwd(skips, ray_tile, precision, iu, res, g):
+    """Backward via XLA recompute: the fully-fused backward kernel would
+    need whole-ray tiles below Mosaic's (8, x) block minimum to fit the
+    activation chain in VMEM at W=256, so the VJP replays the (cheaper to
+    compile, equally correct) XLA graph instead — the fused kernel still
+    accelerates the forward, which dominates rendering-only paths."""
     x0, z_vals, ray_cond, trunk, head = res
-    g_rgb, g_depth, g_w = g
-    R, S = z_vals.shape
-    in0 = x0.shape[1]
-    D = len(trunk)
-    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    # shrink tile until the act chain fits VMEM
-    width = trunk[0][0].shape[1]
-    rt = ray_tile
-    while rt > 1 and (2 * D + 10) * rt * S * width * 4 > 10 * 2**20:
-        rt //= 2
-    in_specs, flat, width = _common_specs(R, S, in0, trunk, head, rt, D)
-    in_specs += [
-        pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rt, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((R * S, in0), jnp.float32),
-        jax.ShapeDtypeStruct((R, head["rgb1_w"].shape[1]), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((rt * S, in0), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (rt, head["rgb1_w"].shape[1]), lambda i: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    for w, b in trunk:
-        out_shapes += [
-            jax.ShapeDtypeStruct(w.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b.shape, jnp.float32),
-        ]
-        out_specs += [_vmem(w.shape), _vmem(b.shape)]
-    for k in _HEAD_KEYS:
-        out_shapes.append(jax.ShapeDtypeStruct(head[k].shape, jnp.float32))
-        out_specs.append(_vmem(head[k].shape))
+    def f(x0_, cond_, trunk_, head_):
+        return xla_static_render(
+            x0_, z_vals, cond_, trunk_, head_, skips, precision
+        )
 
-    outs = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, D=D, skips=tuple(skips), S=S,
-            n_head=len(_HEAD_KEYS), in0=in0, compute_dtype=compute_dtype,
-        ),
-        out_shape=tuple(out_shapes),
-        grid=(R // rt,),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        interpret=INTERPRET,
-    )(x0, z_vals, ray_cond, *flat, g_rgb, g_depth, g_w)
-
-    dx0 = outs[0]
-    dcond = outs[1]
-    dtrunk = tuple((outs[2 + 2 * i], outs[3 + 2 * i]) for i in range(D))
-    dhead = {k: outs[2 + 2 * D + i] for i, k in enumerate(_HEAD_KEYS)}
+    _, vjp = jax.vjp(f, x0, ray_cond, trunk, head)
+    dx0, dcond, dtrunk, dhead = vjp(g)
     return dx0, None, dcond, dtrunk, dhead
 
 
 fused_static_render.defvjp(_render_fwd, _render_bwd)
 
 
-def reference_static_render(x0, z_vals, ray_cond, trunk, head, skips=(4,)):
-    """XLA reference for testing (same math, plain cumprod)."""
-    from .pallas_mlp import reference_trunk
-
+def xla_static_render(
+    x0, z_vals, ray_cond, trunk, head, skips=(4,), precision="float32"
+):
+    """XLA twin of the kernel (same math, plain cumprod). Used as the
+    backward recompute path and as the test reference."""
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     R, S = z_vals.shape
-    h = reference_trunk(x0, trunk, skips)
-    sigma = jax.nn.softplus(h @ head["sigma_w"] + head["sigma_b"]).reshape(R, S)
-    xyzf = h @ head["xyzf_w"] + head["xyzf_b"]
-    feat = xyzf @ head["feat_w"] + head["feat_b"]
+    D = len(trunk)
+    hcur = x0
+    x_in = x0
+    for i, (wte, b) in enumerate(trunk):
+        if i in skips and i > 0:
+            hcur = jnp.concatenate([x_in, hcur], -1)
+        hcur = jnp.maximum(_dot(hcur, wte, compute_dtype) + b, 0.0)
+    h = hcur
+    sigma = jax.nn.softplus(
+        _dot(h, head["sigma_w"], compute_dtype) + head["sigma_b"]
+    ).reshape(R, S)
+    xyzf = _dot(h, head["xyzf_w"], compute_dtype) + head["xyzf_b"]
+    feat = _dot(xyzf, head["feat_w"], compute_dtype) + head["feat_b"]
     rgbh = jnp.maximum(
-        (feat @ head["rgb1_w"]).reshape(R, S, -1) + ray_cond[:, None, :], 0.0
+        _dot(feat, head["rgb1_w"], compute_dtype).reshape(R, S, -1)
+        + ray_cond[:, None, :],
+        0.0,
     )
-    rgb = jax.nn.sigmoid(rgbh @ head["rgb2_w"] + head["rgb2_b"])  # (R, S, 3)
+    rgb = jax.nn.sigmoid(
+        _dot(rgbh.reshape(R * S, -1), head["rgb2_w"], compute_dtype)
+        + head["rgb2_b"]
+    ).reshape(R, S, 3)
 
     deltas = jnp.concatenate(
         [z_vals[:, 1:] - z_vals[:, :-1], jnp.full((R, 1), LAST_DELTA)], -1
@@ -437,3 +282,7 @@ def reference_static_render(x0, z_vals, ray_cond, trunk, head, skips=(4,)):
     rgb_map = (w[..., None] * rgb).sum(1)
     depth = (w * z_vals).sum(1, keepdims=True)
     return rgb_map, depth, w
+
+
+def reference_static_render(x0, z_vals, ray_cond, trunk, head, skips=(4,)):
+    return xla_static_render(x0, z_vals, ray_cond, trunk, head, skips)

@@ -88,6 +88,7 @@ def _inference(
     precision: str,
     remat: bool = False,
     fused_render: bool = False,
+    det: bool = False,
 ) -> None:
     """One NeRF evaluation + compositing pass (models/rendering.py:86-219).
 
@@ -95,8 +96,13 @@ def _inference(
     """
     R, S = z_vals.shape
     use_candidate = nerf_cfg.encode_candidate and encode_candidate and phase < 2
+    # The mega-kernel pays for itself on FORWARD-ONLY renders (val / TTO
+    # eval / video): its VJP replays the XLA graph, so a training step
+    # through it would compute the forward twice (measured slower). `det`
+    # marks exactly the no-grad eval paths.
     if (
         phase == 2
+        and det
         and not use_candidate
         and nerf_cfg.encode_feat
         and nerf_cfg.encode_appearance
@@ -311,6 +317,7 @@ def render_rays(
         precision=cfg.precision,
         remat=cfg.remat,
         fused_render=cfg.fused_render,
+        det=det,
     )
 
     if cfg.N_importance > 0:
@@ -352,5 +359,6 @@ def render_rays(
             precision=cfg.precision,
             remat=cfg.remat,
             fused_render=cfg.fused_render,
+            det=det,
         )
     return results
