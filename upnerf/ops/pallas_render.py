@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mlp import _layer_in_dim
 
 # Set True to run in the Pallas interpreter (CPU tests).
 INTERPRET = False
