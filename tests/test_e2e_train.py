@@ -119,3 +119,20 @@ def test_ckpt_restores_pre_rng_checkpoints(tmp_path, hp):
         np.asarray(restored.params["embeddings"]["coarse_a"]),
         np.asarray(state.params["embeddings"]["coarse_a"]),
     )
+
+
+def test_val_downscale_floor(hp):
+    """Training at downscale 1 must validate at downscale 2
+    (datasets/phototourism.py:53-54)."""
+    from upnerf.train.loop import Trainer
+
+    hp2 = dict(hp)
+    hp2["exp_name"] = "valfloor"
+    trainer = Trainer(hp2)
+    assert trainer.val_scale == 2 and trainer.val_data is not None
+    out, (w, h) = trainer.render_image(0)
+    # val image is half-size of the 20x24 training images
+    assert (w, h) == (12, 10)
+    assert out["s_depth_fine"].shape == (w * h,)
+    val_psnr = trainer.validate(0)
+    assert np.isfinite(val_psnr)

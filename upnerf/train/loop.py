@@ -162,6 +162,44 @@ class Trainer:
         self.ckpt_interval = hp.get("train.ckpt_interval", 10000)
         self.log_pose_interval = hp.get("train.log_pose_interval", 3000)
         self.val_img_idx = list(hp.get("val.img_idx", (0,)))
+        # Validation renders at downscale >= 2 even for scale-1 training
+        # (reference OOM guard, datasets/phototourism.py:53-54): load the
+        # val images + intrinsics separately at the floored scale.
+        self._setup_val_scale()
+
+    def _setup_val_scale(self):
+        self.val_scale = max(2, self.meta.scale)
+        self.val_data = None
+        if self.val_scale == self.meta.scale:
+            return
+        import os as _os
+
+        from upnerf.data.images import load_rgb_u8
+
+        factor = self.meta.scale / self.val_scale
+        Ks = np.asarray(self.scene.Ks)
+        val_Ks = Ks.copy()
+        val_Ks[:, :2, :] *= factor  # fx, fy, cx, cy scale with resolution
+        wh = []
+        rgbs = {}
+        for img_i in self.val_img_idx:
+            id_ = self.meta.img_ids_train[img_i]
+            img = load_rgb_u8(
+                _os.path.join(self.meta.image_dir, self.meta.image_paths[id_]),
+                self.val_scale,
+            )
+            rgbs[img_i] = img
+        base_wh = np.asarray(self.scene.wh)
+        val_wh = np.maximum((base_wh * factor).astype(np.int64), 1)
+        for img_i, img in rgbs.items():
+            val_wh[img_i] = [img.shape[1], img.shape[0]]
+        self.val_data = {
+            "scene": self.scene._replace(
+                Ks=jax.device_put(jnp.asarray(val_Ks), self.repl),
+                wh=jax.device_put(jnp.asarray(val_wh, jnp.int32), self.repl),
+            ),
+            "rgbs": rgbs,
+        }
 
     # --- training ----------------------------------------------------------
 
@@ -245,33 +283,60 @@ class Trainer:
         }
         return {k: jnp.asarray(v) for k, v in batch.items()}, n
 
+    def _val_image_pixels(self, img_i: int):
+        """Full pixel grid at the val scale (scale-1 training only)."""
+        img = self.val_data["rgbs"][img_i]
+        h, w = img.shape[:2]
+        jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        n = h * w
+        chunk = self.hp["val.chunk_size"]
+        pad = (-n) % chunk
+        batch = {
+            "px": np.pad(ii.ravel().astype(np.float32), (0, pad)),
+            "py": np.pad(jj.ravel().astype(np.float32), (0, pad)),
+            "img_idx": np.full(n + pad, img_i, np.int32),
+            "inv_depth": np.zeros(n + pad, np.float32),
+        }
+        return {k: jnp.asarray(v) for k, v in batch.items()}, n
+
     def render_image(self, img_i: int):
         """Render one train-split image at the current state; returns
         (results dict cropped to n rays, (W, H))."""
-        batch, n = self._image_pixels(img_i)
+        if self.val_data is not None:
+            batch, n = self._val_image_pixels(img_i)
+            scene = self.val_data["scene"]
+        else:
+            batch, n = self._image_pixels(img_i)
+            scene = self.scene
         step = int(self.state.step)
         phase = schedule_phase(step / self.max_steps, self.cfg.candidate_schedule)
         out = self.eval_render(
-            self.state.params, self.state.pose_params, self.scene, batch,
+            self.state.params, self.state.pose_params, scene, batch,
             jnp.asarray(step / self.max_steps, jnp.float32), phase,
         )
         out = {k: np.asarray(v[:n]) for k, v in out.items()}
-        w, h = (int(x) for x in np.asarray(self.scene.wh[img_i]))
+        w, h = (int(x) for x in np.asarray(scene.wh[img_i]))
         return out, (w, h)
 
     def validate(self, step: int) -> float:
         psnrs = []
         for img_i in self.val_img_idx:
             out, (w, h) = self.render_image(img_i)
-            lo, hi = int(self.ray_offsets[img_i]), int(self.ray_offsets[img_i + 1])
-            rgb_gt = (
-                np.asarray(
-                    self.store_np["rgb"][lo:hi]
-                    if self.store_np is not None
-                    else self.store.rgb[lo:hi]
-                ).astype(np.float32)
-                / 255.0
-            )
+            if self.val_data is not None:
+                rgb_gt = (
+                    self.val_data["rgbs"][img_i].reshape(-1, 3).astype(np.float32)
+                    / 255.0
+                )
+            else:
+                lo, hi = int(self.ray_offsets[img_i]), int(self.ray_offsets[img_i + 1])
+                rgb_gt = (
+                    np.asarray(
+                        self.store_np["rgb"][lo:hi]
+                        if self.store_np is not None
+                        else self.store.rgb[lo:hi]
+                    ).astype(np.float32)
+                    / 255.0
+                )
             # val PSNR uses the transient-COMPOSITED rgb when present
             # (models/nerf_system.py:266-269)
             typ = "fine" if self.cfg.loss.fine else "coarse"
