@@ -18,11 +18,16 @@ from PIL import Image
 from . import colmap
 
 
-def _camera_ring(n: int, radius: float = 3.0, height: float = 0.6):
-    """c2w poses (right-up-back) on a ring looking at the origin."""
+def _camera_ring(n: int, radius: float = 3.0, height: float = 0.6, arc: float = 0.2):
+    """c2w poses (right-up-back) on a ring looking at the origin.
+
+    arc: fraction of the full circle spanned. Small arcs give heavy view
+    overlap (easy photometry, but pose recovery from identity init is
+    ill-conditioned when many cameras nearly coincide); use ~0.5 for
+    pose-convergence testbeds."""
     poses = []
     for i in range(n):
-        ang = 2 * np.pi * i / max(n, 1) * 0.2  # small arc: overlapping views
+        ang = 2 * np.pi * i / max(n, 1) * arc
         eye = np.array([radius * np.sin(ang), height, radius * np.cos(ang)])
         forward = -eye / np.linalg.norm(eye)  # toward origin
         right = np.cross(forward, np.array([0.0, 1.0, 0.0]))
@@ -84,11 +89,12 @@ def generate_scene(
     focal: float = 40.0,
     seed: int = 0,
     phototourism_layout: bool = False,
+    arc: float = 0.2,
 ) -> dict:
     """Write a complete scene under out_dir; returns the metadata dict."""
     rng = np.random.RandomState(seed)
     n = n_train + n_test
-    poses = _camera_ring(n)
+    poses = _camera_ring(n, arc=arc)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
 
     img_dir = os.path.join(out_dir, "dense", "images")

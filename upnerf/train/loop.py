@@ -231,7 +231,10 @@ class Trainer:
             window_rays += self.cfg.batch_size
 
             if step % log_every == 0 or step == max_steps:
-                m = {k_: float(v) for k_, v in metrics.items()}
+                # one batched device->host fetch (scalar round-trips cost
+                # ~30 ms each through the remote-TPU relay)
+                fetched = jax.device_get(metrics)
+                m = {k_: float(v) for k_, v in fetched.items()}
                 dt = time.time() - t0
                 m["rays_per_sec"] = window_rays / max(dt, 1e-9)
                 m["lr"] = learning_rate_at(
