@@ -23,9 +23,10 @@ import numpy as np
 
 def load_trained(result_dir: str, ckpt: str):
     """(hparams, state, n_train) from a training run directory."""
-    import jax
-
     from upnerf.config import get_from_path
+    from upnerf.utils import enable_compile_cache
+
+    enable_compile_cache()
     from upnerf.data import load_scene_meta
     from upnerf.train.state import build_train_state
     from upnerf.utils.ckpt import CheckpointManager

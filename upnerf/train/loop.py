@@ -38,22 +38,11 @@ from .state import RayStore, SceneConstants, TrainState, init_params, init_pose_
 from .step import StepConfig, make_eval_render, make_train_step
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache — first-compile of the flagship step
-    costs minutes through the remote-compile tunnel; cache across runs."""
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("UPNERF_COMPILE_CACHE", "/tmp/upnerf_jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 class Trainer:
     def __init__(self, hparams: Dict[str, Any]):
-        _enable_compile_cache()
+        from upnerf.utils import enable_compile_cache
+
+        enable_compile_cache()
         self.hp = hparams
         self.cfg = StepConfig.from_hparams(hparams)
         self.max_steps = hparams["max_steps"]
