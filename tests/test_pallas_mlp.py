@@ -10,9 +10,13 @@ from upnerf.ops import pallas_mlp
 
 @pytest.fixture(autouse=True)
 def interpret_mode():
-    pallas_mlp.INTERPRET = True
+    from upnerf.ops import pallas_heads, pallas_render
+
+    for mod in (pallas_mlp, pallas_heads, pallas_render):
+        mod.INTERPRET = True
     yield
-    pallas_mlp.INTERPRET = False
+    for mod in (pallas_mlp, pallas_heads, pallas_render):
+        mod.INTERPRET = False
 
 
 def make_params(D=4, W=32, in0=24, skips=(2,), seed=0):
@@ -168,4 +172,61 @@ class TestFusedStaticRender:
         gx = jax.grad(loss)(params, rc_x)
         gf = jax.grad(loss)(params, rc_x._replace(fused_render=True))
         for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestFusedTrunkHeads:
+    """Trunk+heads kernel (pallas_heads) vs apply_nerf's XLA path."""
+
+    def _setup(self):
+        from upnerf.models import NeRFConfig, init_nerf
+        from upnerf.ops import pallas_heads
+
+        pallas_heads.INTERPRET = True
+        cfg = NeRFConfig(
+            D=4, W=32, skips=(2,), feat_dim=16, xyz_L=4, dir_L=2,
+            appearance_dim=8, candidate_dim=4, c2f=(0.1, 0.5),
+        )
+        params = init_nerf(jax.random.PRNGKey(0), cfg)
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        inputs = {
+            "input_xyz": jax.random.normal(ks[0], (4, 4, 3)),
+            "input_dir": jax.random.normal(ks[1], (4, 3)),
+            "input_a": jax.random.normal(ks[2], (4, 8)),
+            "input_c": jax.random.normal(ks[3], (4, 4)),
+        }
+        return cfg, params, inputs
+
+    @pytest.mark.parametrize("phase,sched", [(0, 0.0), (1, 0.5), (2, 1.0)])
+    def test_apply_nerf_parity(self, phase, sched):
+        from upnerf.models import apply_nerf
+
+        cfg, params, inputs = self._setup()
+        common = dict(
+            phase=phase, sched_mult=jnp.asarray(sched),
+            progress=jnp.asarray(0.3), precision="float32",
+        )
+        ref = apply_nerf(params, cfg, inputs, **common)
+        out = apply_nerf(params, cfg._replace(fused_trunk=True), inputs, **common)
+        assert set(ref) == set(out)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), atol=1e-5, err_msg=k
+            )
+
+    def test_gradient_parity(self):
+        from upnerf.models import apply_nerf
+
+        cfg, params, inputs = self._setup()
+
+        def loss(p, c):
+            o = apply_nerf(
+                p, c, inputs, phase=1, sched_mult=jnp.asarray(0.5),
+                progress=jnp.asarray(0.3), precision="float32",
+            )
+            return sum((v**2).sum() for v in o.values())
+
+        g1 = jax.grad(loss)(params, cfg)
+        g2 = jax.grad(loss)(params, cfg._replace(fused_trunk=True))
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

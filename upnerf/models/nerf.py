@@ -168,6 +168,52 @@ def positional_encoding(
     return jnp.concatenate([x, enc], axis=-1)
 
 
+def _split_dense(x_sample, ray_parts, p, dx, precision):
+    """relu/linear input of concat(x_sample, *ray_parts) @ W + b with W
+    split at row dx. The per-ray conditioning inputs (dir, appearance,
+    candidate) may be per-SAMPLE (general path, used by parity tests) or
+    per-RAY (rank-1 lower); per-ray contributions are evaluated on R rows
+    and broadcast over the sample axis — removing the (R, S, 459) concat
+    copies and shrinking two of the three head matmuls by a factor of S
+    (measured ~12 ms/step on the flagship config)."""
+    w, b = p["w"], p["b"]
+    y = dense(x_sample, {"w": w[:dx], "b": b}, precision)
+    off = dx
+    ray_term = None
+    for part in ray_parts:
+        d = part.shape[-1]
+        t = dense(part, {"w": w[off : off + d], "b": jnp.zeros_like(b)}, precision)
+        ray_term = t if ray_term is None else ray_term + t
+        off += d
+    return y + ray_term[..., None, :]
+
+
+def _rgb_head_on(base, params, cfg, inputs, progress, precision):
+    """Shared/static RGB head (models/nerf.py:101-109): base is s_feat (or
+    xyz_final when encode_feat is off)."""
+    per_ray = inputs["input_dir"].ndim == inputs["input_xyz"].ndim - 1
+    w_dir = pe_weight(progress, cfg.dir_L, cfg.c2f) if cfg.c2f is not None else None
+    input_dir = positional_encoding(inputs["input_dir"], cfg.dir_L, w_dir)
+    ray_parts = [input_dir]
+    if cfg.encode_appearance:
+        ray_parts.append(inputs["input_a"])
+    if per_ray:
+        h = jax.nn.relu(
+            _split_dense(
+                base, ray_parts, params["rgb_share"][0], base.shape[-1], precision
+            )
+        )
+    else:
+        h = jax.nn.relu(
+            dense(
+                jnp.concatenate([base] + ray_parts, -1),
+                params["rgb_share"][0],
+                precision,
+            )
+        )
+    return jax.nn.sigmoid(dense(h, params["rgb_share"][1], precision))
+
+
 def apply_nerf(
     params: Dict[str, Any],
     cfg: NeRFConfig,
@@ -198,10 +244,66 @@ def apply_nerf(
     w_xyz = pe_weight(progress, cfg.xyz_L, cfg.c2f) if cfg.c2f is not None else None
     input_xyz = positional_encoding(inputs["input_xyz"], cfg.xyz_L, w_xyz)
 
+    lead = input_xyz.shape[:-1]
+    per_ray_c = (
+        use_candidate and inputs["input_c"].ndim == input_xyz.ndim - 1
+    )
+
+    if cfg.fused_trunk and cfg.encode_feat and not sigma_only:
+        # Trunk + sigma/xyz_final/feat (+ candidate branch) fused in one
+        # Pallas kernel (upnerf.ops.pallas_heads) — the XLA head matmuls
+        # are HBM-bound at ~22% MXU utilization otherwise.
+        from upnerf.ops.pallas_heads import fused_trunk_heads
+
+        flat = input_xyz.reshape(-1, input_xyz.shape[-1])
+        n = flat.shape[0]
+        tile = 512 if n % 512 == 0 else 128 if n % 128 == 0 else 8
+        pad = (-n) % tile
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0)))
+        c_flat = None
+        if use_candidate:
+            c = inputs["input_c"]
+            if per_ray_c:
+                c = jnp.broadcast_to(
+                    c[..., None, :], (*lead, c.shape[-1])
+                )
+            c_flat = c.reshape(-1, c.shape[-1])
+            if pad:
+                c_flat = jnp.pad(c_flat, ((0, pad), (0, 0)))
+        trunk_params = tuple((p["w"], p["b"]) for p in params["trunk"])
+        heads = {
+            "sigma_w": params["share_sigma"]["w"],
+            "sigma_b": params["share_sigma"]["b"],
+            "xyzf_w": params["xyz_final"]["w"],
+            "xyzf_b": params["xyz_final"]["b"],
+            "feat_w": params["feat_share"]["w"],
+            "feat_b": params["feat_share"]["b"],
+        }
+        if use_candidate:
+            heads.update(
+                c1_w=params["cand_enc"][0]["w"], c1_b=params["cand_enc"][0]["b"],
+                c2_w=params["cand_enc"][1]["w"], c2_b=params["cand_enc"][1]["b"],
+                csig_w=params["cand_sigma"]["w"], csig_b=params["cand_sigma"]["b"],
+                cfeat_w=params["cand_feat"]["w"], cfeat_b=params["cand_feat"]["b"],
+            )
+        outs = fused_trunk_heads(
+            flat, c_flat, trunk_params, heads, cfg.skips, tile, precision
+        )
+        ret["s_sigma"] = outs[0][:n].reshape(*lead)
+        ret["s_feat"] = outs[1][:n].reshape(*lead, cfg.feat_dim)
+        if use_candidate:
+            ret["c_sigma"] = outs[2][:n].reshape(*lead)
+            ret["c_feat"] = outs[3][:n].reshape(*lead, cfg.feat_dim)
+        if phase > 0:
+            ret["s_rgb"] = _rgb_head_on(
+                ret["s_feat"], params, cfg, inputs, progress, precision
+            )
+        return ret
+
     if cfg.fused_trunk:
         from upnerf.ops.pallas_mlp import fused_trunk
 
-        lead = input_xyz.shape[:-1]
         flat = input_xyz.reshape(-1, input_xyz.shape[-1])
         n = flat.shape[0]
         tile = 1024 if n % 1024 == 0 else 512 if n % 512 == 0 else 128
@@ -226,59 +328,17 @@ def apply_nerf(
 
     xyz_final = dense(x, params["xyz_final"], precision)
 
-    # The per-ray conditioning inputs (dir, appearance, candidate) may be
-    # given per-SAMPLE (same rank as xyz — the general path, used by the
-    # parity tests) or per-RAY (rank-1 lower: (R, C) against (R, S, 3) xyz).
-    # In the per-ray case the first head layer is computed as a SPLIT
-    # matmul: concat(x, y) @ W == x @ W[:dx] + y @ W[dx:], with the per-ray
-    # contribution evaluated on R rows and broadcast over samples — this
-    # removes the (R, S, 459) concat copies and shrinks two of the three
-    # head matmuls by a factor of S (measured ~12 ms/step of data
-    # formatting + head FLOPs on the flagship config).
     per_ray = inputs["input_dir"].ndim == inputs["input_xyz"].ndim - 1
 
-    def split_dense(x_sample, ray_parts, p, dx):
-        """relu/linear input of concat(x_sample, *ray_parts) @ W + b with
-        W split at row dx; ray contributions broadcast over the sample
-        axis."""
-        w, b = p["w"], p["b"]
-        y = dense(x_sample, {"w": w[:dx], "b": b}, precision)
-        off = dx
-        ray_term = None
-        for part in ray_parts:
-            d = part.shape[-1]
-            t = dense(part, {"w": w[off : off + d], "b": jnp.zeros_like(b)}, precision)
-            ray_term = t if ray_term is None else ray_term + t
-            off += d
-        return y + ray_term[..., None, :]
-
     def rgb_head(base: jnp.ndarray) -> jnp.ndarray:
-        w_dir = (
-            pe_weight(progress, cfg.dir_L, cfg.c2f) if cfg.c2f is not None else None
-        )
-        input_dir = positional_encoding(inputs["input_dir"], cfg.dir_L, w_dir)
-        ray_parts = [input_dir]
-        if cfg.encode_appearance:
-            ray_parts.append(inputs["input_a"])
-        if per_ray:
-            h = jax.nn.relu(
-                split_dense(base, ray_parts, params["rgb_share"][0], base.shape[-1])
-            )
-        else:
-            h = jax.nn.relu(
-                dense(
-                    jnp.concatenate([base] + ray_parts, -1),
-                    params["rgb_share"][0],
-                    precision,
-                )
-            )
-        return jax.nn.sigmoid(dense(h, params["rgb_share"][1], precision))
+        return _rgb_head_on(base, params, cfg, inputs, progress, precision)
 
     def candidate_branch() -> Dict[str, jnp.ndarray]:
         if per_ray:
             h = jax.nn.relu(
-                split_dense(
-                    xyz_final, [inputs["input_c"]], params["cand_enc"][0], cfg.W
+                _split_dense(
+                    xyz_final, [inputs["input_c"]], params["cand_enc"][0],
+                    cfg.W, precision,
                 )
             )
         else:
