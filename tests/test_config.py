@@ -33,6 +33,20 @@ def test_merge_from_list_unchecked():
     assert c["new.key"] == (0.1, 0.5)
 
 
+def test_merge_from_list_booleans():
+    # CLI `key false` must become bool False, not the truthy string "false"
+    # (regression: tpu.fused_trunk override was silently ignored).
+    c = {}
+    cfg.merge_from_list(
+        c, ["a", "false", "b", "true", "c", "False", "d", "True", "e", "high"]
+    )
+    assert c["a"] is False
+    assert c["b"] is True
+    assert c["c"] is False
+    assert c["d"] is True
+    assert c["e"] == "high"
+
+
 def test_parse_cli_and_save_roundtrip(tmp_path):
     scene = tmp_path / "scene.yaml"
     scene.write_text("scene_name: foo\nnerf:\n  N_samples: 16\n")

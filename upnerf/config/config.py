@@ -30,6 +30,11 @@ DEFAULT_CONFIG_FILE = join(dirname(__file__), "default.yaml")
 
 def _coerce(v: Any) -> Any:
     if isinstance(v, str):
+        # YAML-style booleans first: literal_eval only knows "True"/"False",
+        # so a CLI override like `tpu.fused_trunk false` would otherwise stay
+        # a string — and bool("false") is True.
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
         try:
             v = literal_eval(v)
         except (ValueError, SyntaxError):
