@@ -152,6 +152,49 @@ class TestProcrustes:
         # global transforms are absorbed by the sim3 alignment
         assert np.asarray(err["R"]).mean() < 0.02
 
+    def test_relative_pose_error_gauge_invariant(self):
+        # A global SE(3) gauge change + uniform scale must read as zero error.
+        gt = se3.se3_to_SE3(rand_se3(jax.random.PRNGKey(11), 10))
+        g = se3.se3_to_SE3(jnp.array([0.4, -0.2, 0.3, 1.0, -0.5, 2.0]))
+        gb = jnp.broadcast_to(g, (10, 3, 4))
+        moved = se3.compose([gt, gb])  # world-frame gauge transform
+        scaled = moved.at[..., :3, 3].multiply(3.0)  # global scale on centers
+        rel = procrustes.relative_pose_error(scaled, gt)
+        assert rel["R"].max() < 2e-3
+        assert rel["t"].max() < 5e-3
+
+    def test_relative_pose_error_detects_perturbation(self):
+        gt = se3.se3_to_SE3(rand_se3(jax.random.PRNGKey(12), 10))
+        # rotate ONE camera by 0.3 rad: 9/45 pairs pick up ~0.3 rad error
+        bump = se3.se3_to_SE3(jnp.array([0.0, 0.0, 0.3, 0.0, 0.0, 0.0]))
+        moved = gt.at[0].set(se3.compose([gt[0:1], bump[None]])[0])
+        rel = procrustes.relative_pose_error(moved, gt)
+        assert rel["R"].max() > 0.29
+        assert np.sort(rel["R"])[-9] > 0.29  # all 9 pairs involving cam 0
+        assert np.sort(rel["R"])[:36].max() < 2e-3  # the rest unaffected
+
+    def test_relative_pose_error_stable_where_procrustes_flips(self):
+        # Near-coplanar ring of camera centers: the Procrustes branch is
+        # reflection-bistable there (the regression that motivated this
+        # metric); the pairwise metric must stay ~0 for a pure gauge change.
+        n = 8
+        ang = np.linspace(0, 2 * np.pi * 0.2, n)
+        centers = np.stack(
+            [3 * np.sin(ang), 0.6 * np.ones(n), 3 * np.cos(ang)], -1
+        )
+        poses = []
+        for c in centers:
+            f = -c / np.linalg.norm(c)
+            r = np.cross(f, [0.0, 1.0, 0.0]); r /= np.linalg.norm(r)
+            u = np.cross(r, f)
+            poses.append(np.concatenate([np.stack([r, u, -f], 1), c[:, None]], 1))
+        gt = jnp.asarray(np.stack(poses), jnp.float32)
+        g = se3.se3_to_SE3(jnp.array([0.05, -0.03, 0.02, 0.1, 0.0, -0.1]))
+        moved = se3.compose([gt, jnp.broadcast_to(g, (n, 3, 4))])
+        rel = procrustes.relative_pose_error(moved, gt)
+        assert rel["R"].max() < 2e-3
+        assert rel["t"].max() < 5e-3
+
     def test_rotation_distance(self):
         R1 = se3.so3_to_SO3(jnp.array([0.0, 0.0, 0.0]))
         R2 = se3.so3_to_SO3(jnp.array([0.0, 0.0, 0.5]))

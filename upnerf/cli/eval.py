@@ -40,6 +40,9 @@ def main(args) -> None:
             print("train/pose_t", float(np.mean(np.asarray(err["t"]))))
         else:
             print("pose alignment is not converged")
+        rel = procrustes.relative_pose_error(refined, jnp.asarray(gt))
+        print("train/pose_R_rel", float(np.mean(rel["R"])) * 180 / np.pi)
+        print("train/pose_t_rel", float(np.mean(rel["t"])))
     else:
         print("Dataset does not have GT poses. Skip pose evaluation.")
 

@@ -97,6 +97,43 @@ def evaluate_camera_alignment(
     return {"R": R_error, "t": t_error}
 
 
+def relative_pose_error(
+    poses: jnp.ndarray, gt_poses: jnp.ndarray
+) -> Dict[str, np.ndarray]:
+    """Gauge-free pose error over all camera pairs. Both [N, 3, 4] c2w.
+
+    The Procrustes metric (pose_metric / reference utils/metric.py:42-62)
+    aligns a global sim(3) from camera CENTERS; with few or near-coplanar
+    cameras (e.g. a validation ring) the SVD branch is reflection-bistable
+    and the reported error can flip by ~180 deg between numerically
+    equivalent runs (observed on TPU vs host recomputation of the same
+    checkpoint). Relative errors compare R_i^T R_j and scale-normalized
+    baselines, so no alignment is needed and the metric is stable.
+
+    Returns {"R": pairwise geodesic angle (rad), "t": pairwise relative-
+    translation error normalized by the mean GT relative translation},
+    each a flat [N*(N-1)/2] array.
+    """
+    n = poses.shape[0]
+    iu, ju = np.triu_indices(n, k=1)
+
+    def rel_pairs(p):
+        # P_i^{-1} o P_j — invariant to any global (left) SE(3) gauge.
+        return compose([p[ju], invert(p[iu])])
+
+    rel = rel_pairs(jnp.asarray(poses))
+    rel_g = rel_pairs(jnp.asarray(gt_poses))
+    R_err = np.asarray(rotation_distance(rel[..., :3], rel_g[..., :3]))
+    t = np.asarray(rel[..., 3])
+    t_g = np.asarray(rel_g[..., 3])
+    # A single global scale on camera centers scales every relative
+    # translation uniformly; normalize it out before comparing.
+    mean_g = max(float(np.linalg.norm(t_g, axis=-1).mean()), 1e-9)
+    scale = float(np.linalg.norm(t, axis=-1).mean()) / mean_g
+    t_err = np.linalg.norm(t / max(scale, 1e-9) - t_g, axis=-1) / mean_g
+    return {"R": R_err, "t": t_err}
+
+
 def pose_metric(refine_poses: jnp.ndarray, gt_poses: jnp.ndarray):
     """End-to-end pose error (utils/metric.py:65-77).
 

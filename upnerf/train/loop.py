@@ -393,14 +393,21 @@ class Trainer:
         err, aligned, gt_parsed = procrustes.pose_metric(
             jnp.asarray(refined), jnp.asarray(gt)
         )
+        # Gauge-free pairwise metric alongside the reference's Procrustes
+        # numbers: the center alignment is reflection-bistable on small /
+        # near-coplanar camera sets, so pose_R alone can flip by ~180 deg
+        # between equivalent runs (see docs/DESIGN.md).
+        rel = procrustes.relative_pose_error(jnp.asarray(refined), jnp.asarray(gt))
+        pose_m = {
+            "train/pose_R_rel": float(np.mean(rel["R"])) * 180 / math.pi,
+            "train/pose_t_rel": float(np.mean(rel["t"])),
+        }
         if err is not None:
-            self.logger.log(
-                step,
-                {
-                    "train/pose_R": float(np.mean(np.asarray(err["R"]))) * 180 / math.pi,
-                    "train/pose_t": float(np.mean(np.asarray(err["t"]))),
-                },
+            pose_m["train/pose_R"] = (
+                float(np.mean(np.asarray(err["R"]))) * 180 / math.pi
             )
+            pose_m["train/pose_t"] = float(np.mean(np.asarray(err["t"])))
+        self.logger.log(step, pose_m)
         if not self.debug:
             try:
                 from upnerf.utils.viz import get_pose_image
