@@ -39,9 +39,26 @@ def _camera_ring(n: int, radius: float = 3.0, height: float = 0.6, arc: float = 
     return np.stack(poses).astype(np.float32)
 
 
+def _sphere_hit(o: np.ndarray, d: np.ndarray, center: np.ndarray, r: float):
+    """Nearest positive ray-sphere intersection distance (inf if none)."""
+    oc = o - center
+    b = 2 * (d @ oc)
+    c = oc @ oc - r * r
+    disc = b**2 - 4 * c
+    tt = (-b - np.sqrt(np.maximum(disc, 0))) / 2
+    return np.where((disc > 0) & (tt > 1e-3), tt, np.inf)
+
+
 def _render_image(pose: np.ndarray, K: np.ndarray, H: int, W: int):
-    """Analytic scene: a colored unit sphere at the origin over a gradient
-    background; returns (rgb u8, inverse depth)."""
+    """Analytic scene with world-anchored high-frequency texture: two
+    patterned spheres over a checkered ground plane, gradient sky.
+
+    Pose-free NeRF recovers ROTATIONS only when the photometric/feature
+    landscape has texture gradients; the earlier smooth sphere + gradient
+    background gave near-zero rotation signal, and identity-initialized
+    training only ever optimized translations (see docs/DESIGN.md pose
+    audit). Returns (rgb u8, inverse depth).
+    """
     jj, ii = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     dirs = np.stack(
         [
@@ -56,24 +73,67 @@ def _render_image(pose: np.ndarray, K: np.ndarray, H: int, W: int):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o = t
 
-    # ray-sphere intersection, radius 1 at origin
-    b = 2 * (d @ o)
-    c = o @ o - 1.0
-    disc = b**2 - 4 * c
-    hit = disc > 0
-    tt = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
-    p = o + d * tt[..., None]
-    normal = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+    c2 = np.array([1.5, -0.1, 0.6])
+    t1 = _sphere_hit(o, d, np.zeros(3), 1.0)
+    t2 = _sphere_hit(o, d, c2, 0.45)
+    # ground plane y = -1.2 (only in front of the camera)
+    denom = d[..., 1]
+    tp = np.where(np.abs(denom) > 1e-6, (-1.2 - o[1]) / denom, np.inf)
+    tp = np.where(tp > 1e-3, tp, np.inf)
+
+    depth = np.minimum(np.minimum(t1, t2), tp)
+    hit_any = np.isfinite(depth)
+    p = o + d * np.where(hit_any, depth, 0.0)[..., None]
 
     rgb = np.empty((H, W, 3), np.float32)
-    # background: direction-based gradient
-    rgb[..., 0] = 0.5 + 0.5 * d[..., 0]
-    rgb[..., 1] = 0.5 + 0.5 * d[..., 1]
-    rgb[..., 2] = 0.6
-    sphere_rgb = 0.5 + 0.5 * normal
-    rgb[hit] = sphere_rgb[hit]
+    # sky: smooth direction gradient (no parallax; fine — it is never the
+    # argmax of the pose gradient)
+    rgb[..., 0] = 0.5 + 0.4 * d[..., 0]
+    rgb[..., 1] = 0.5 + 0.4 * d[..., 1]
+    rgb[..., 2] = 0.65
 
-    depth = np.where(hit, tt, 6.0)
+    # ground: world-anchored checkerboard (strong parallax + texture)
+    plane = depth == tp
+    checker = ((np.floor(p[..., 0] / 0.6) + np.floor(p[..., 2] / 0.6)) % 2)
+    ground = np.where(
+        checker[..., None] > 0.5,
+        np.array([0.85, 0.8, 0.7]),
+        np.array([0.25, 0.3, 0.35]),
+    ).astype(np.float32)
+    # fade the checker out with distance: the far field otherwise aliases
+    # into Moire noise at these small image sizes
+    fade = np.clip((depth - 3.0) / 3.0, 0.0, 1.0)[..., None].astype(np.float32)
+    ground = ground * (1 - fade) + np.float32(0.55) * fade
+    rgb[plane] = ground[plane]
+
+    # big sphere: spherical checker (crisp, world-anchored) + normal tint
+    s1 = depth == t1
+    n1 = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+    az1 = np.arctan2(n1[..., 2], n1[..., 0])
+    el1 = np.arctan2(n1[..., 1], np.linalg.norm(n1[..., [0, 2]], axis=-1))
+    check1 = ((np.floor(az1 / 0.45) + np.floor(el1 / 0.45)) % 2)
+    sph1 = np.where(
+        check1[..., None] > 0.5,
+        np.array([0.9, 0.2, 0.25]),
+        np.array([0.95, 0.9, 0.3]),
+    ).astype(np.float32)
+    sph1 *= (0.6 + 0.4 * (0.5 + 0.5 * n1[..., 1]))[..., None]
+    rgb[s1] = sph1[s1]
+
+    # small sphere: tight checker in spherical angle
+    s2 = depth == t2
+    q = p - c2
+    az = np.arctan2(q[..., 2], q[..., 0])
+    el = np.arctan2(q[..., 1], np.linalg.norm(q[..., [0, 2]], axis=-1))
+    check2 = ((np.floor(az / 0.5) + np.floor(el / 0.5)) % 2)
+    sph2 = np.where(
+        check2[..., None] > 0.5,
+        np.array([0.95, 0.55, 0.15]),
+        np.array([0.15, 0.25, 0.8]),
+    ).astype(np.float32)
+    rgb[s2] = sph2[s2]
+
+    depth = np.where(hit_any, depth, 6.0)
     inv_depth = 1.0 / np.maximum(depth, 1e-3)
     return (np.clip(rgb, 0, 1) * 255).astype(np.uint8), inv_depth.astype(np.float32)
 
