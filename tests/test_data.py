@@ -90,6 +90,22 @@ class TestCustomScene:
             meta.poses_dict[meta.img_ids_train[0]], np.eye(3, 4)
         )
 
+    def test_load_meta_perturbation_mode(self, scene_dir):
+        # noise s > 0: train poses = GT composed with persisted se(3) noise;
+        # GT_poses_dict must survive untouched (custom-scene extension of
+        # the phototourism noise modes, datasets/phototourism.py:187-211).
+        meta = load_custom(scene_dir, img_downscale=1, camera_noise=0.1)
+        id0 = meta.img_ids_train[0]
+        gt0 = np.asarray(meta.GT_poses_dict[id0])
+        p0 = np.asarray(meta.poses_dict[id0])
+        assert not np.allclose(p0, np.eye(3, 4))  # not identity
+        assert not np.allclose(p0, gt0)  # not raw GT
+        assert np.abs(p0 - gt0).max() < 0.5  # but a small perturbation of it
+        assert os.path.isfile(os.path.join(scene_dir, "noises", "3_0.1.npy"))
+        # the persisted noise makes a second load bit-identical
+        meta2 = load_custom(scene_dir, img_downscale=1, camera_noise=0.1)
+        np.testing.assert_array_equal(p0, np.asarray(meta2.poses_dict[id0]))
+
     def test_build_arrays(self, scene_dir):
         meta = load_custom(scene_dir, img_downscale=1, camera_noise=-1)
         scene_np, store_np = build_arrays(

@@ -66,7 +66,10 @@ def _apply_camera_noise(meta: SceneMeta) -> None:
     noise = meta.camera_noise
     if noise is None:
         return
-    meta.GT_poses_dict = dict(meta.poses_dict)
+    if meta.GT_poses_dict is None:
+        # Phototourism: poses_dict currently holds the COLMAP (GT) poses.
+        # Custom scenes arrive with GT_poses_dict already set — keep it.
+        meta.GT_poses_dict = dict(meta.poses_dict)
     train_poses = np.stack(
         [np.asarray(meta.poses_dict[i], np.float32) for i in meta.img_ids_train]
     )
@@ -282,9 +285,16 @@ def load_custom(
 
     img_ids_train = [i for i in img_ids if metadata[i]["split"] == "train"]
     img_ids_test = [i for i in img_ids if metadata[i]["split"] == "test"]
-    # Custom scenes always train from identity poses
-    # (datasets/custom.py:139).
-    poses_dict = {id_: np.eye(3, 4, dtype=np.float32) for id_ in img_ids}
+    # The reference's custom dataset always trains from identity poses
+    # (datasets/custom.py:139) — its noise modes exist only for
+    # Phototourism. Extension: when the metadata carries GT poses, support
+    # the same perturbation mode (noise s > 0: GT composed with persisted
+    # se(3) noise) so perturbation-recovery benchmarks work on synthetic
+    # scenes; -1 / None keep the reference's identity behavior.
+    if GT_poses is not None and camera_noise is not None and camera_noise != -1:
+        poses_dict = {id_: GT_poses[id_][:3, :4].copy() for id_ in img_ids}
+    else:
+        poses_dict = {id_: np.eye(3, 4, dtype=np.float32) for id_ in img_ids}
 
     meta = SceneMeta(
         root_dir=root_dir,
@@ -302,6 +312,8 @@ def load_custom(
         img_ids_test=img_ids_test,
         xyz_world=np.zeros((0, 3)),
     )
+    if camera_noise is not None and camera_noise != -1:
+        _apply_camera_noise(meta)
     return meta
 
 
