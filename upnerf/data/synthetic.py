@@ -155,6 +155,10 @@ def generate_scene(
     rng = np.random.RandomState(seed)
     n = n_train + n_test
     poses = _camera_ring(n, arc=arc)
+    # One shared color->feature projection for ALL images (view consistency).
+    feat_proj = rng.randn(3, feat_dim).astype(np.float32)
+    feat_phase = rng.uniform(0, 2 * np.pi, feat_dim).astype(np.float32)
+    feat_freq = rng.uniform(2.0, 6.0, feat_dim).astype(np.float32)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
 
     img_dir = os.path.join(out_dir, "dense", "images")
@@ -176,14 +180,13 @@ def generate_scene(
             Image.fromarray(rgb).resize((feat_hw, feat_hw), Image.BILINEAR),
             np.float32,
         ) / 255.0
-        gy, gx = np.meshgrid(
-            np.linspace(0, 1, feat_hw), np.linspace(0, 1, feat_hw), indexing="ij"
-        )
-        base = np.concatenate(
-            [small, gy[..., None], gx[..., None]], -1
-        )  # (fh, fw, 5)
-        reps = int(np.ceil(feat_dim / base.shape[-1]))
-        feat = np.tile(base, (1, 1, reps))[..., :feat_dim]
+        # "DINO" stand-in must be VIEW-CONSISTENT at a 3-D point (real DINO
+        # descriptors of the same surface patch agree across views) — it is
+        # the phase-0 pose signal. Random sinusoidal projections of local
+        # color are world-anchored through the scene texture; image-space
+        # positional channels would act as per-view noise instead.
+        feat = np.sin(feat_freq * (small @ feat_proj) + feat_phase)
+        feat[..., :3] = small  # keep raw color in the first channels
         feat += 0.01 * rng.randn(*feat.shape)
         np.save(os.path.join(feat_map_dir, name[:-4] + ".npy"), feat.astype(np.float32))
 
