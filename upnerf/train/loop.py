@@ -344,8 +344,31 @@ class Trainer:
         return val_psnr
 
     def _log_val_images(self, step, img_i, out, rgb_gt, wh):
+        # panel names match the reference's W&B sink exactly
+        # (models/nerf_system.py:290-307): val_{idx}/viz/<name>
         w, h = wh
-        self.logger.log_image(step, f"val_{img_i}/rgb_GT", rgb_gt.reshape(h, w, 3))
+
+        def _pca(img):
+            flat = img.reshape(-1, img.shape[-1])
+            mean = flat.mean(0)
+            _, _, vt = np.linalg.svd(
+                flat[:: max(1, len(flat) // 2048)] - mean, full_matrices=False
+            )
+            return get_pca_img(img, mean, vt[:3])
+
+        self.logger.log_image(
+            step, f"val_{img_i}/viz/rgb_GT", rgb_gt.reshape(h, w, 3)
+        )
+        if "feats_gt" in out:
+            self.logger.log_image(
+                step, f"val_{img_i}/viz/feat_GT",
+                _pca(out["feats_gt"].reshape(h, w, -1)),
+            )
+        if "pred_depth" in out:  # scale/shifted DPT prior (rescale_depth_GT)
+            self.logger.log_image(
+                step, f"val_{img_i}/viz/rescale_depth_GT",
+                visualize_depth(out["pred_depth"].reshape(h, w)),
+            )
         for name in self.hp.get("val.log_image_list", ()):  # nerf_system.py:293-307
             try:
                 if name in ("t_beta", "t_alpha", "t_rgb") and name in out:
@@ -353,26 +376,21 @@ class Trainer:
                     img = img / max(img.max(), 1e-9)
                     if img.shape[-1] == 1:
                         img = np.repeat(img, 3, -1)
-                    self.logger.log_image(step, f"val_{img_i}/{name}", img)
+                    self.logger.log_image(step, f"val_{img_i}/viz/{name}", img)
                 elif "depth" in name and name in out:
                     self.logger.log_image(
-                        step, f"val_{img_i}/{name}",
+                        step, f"val_{img_i}/viz/{name}",
                         visualize_depth(out[name].reshape(h, w)),
                     )
                 elif "feat" in name and name in out:
-                    img = out[name].reshape(h, w, -1)
                     # quick PCA from the map itself (pca_infos are viz-only)
-                    flat = img.reshape(-1, img.shape[-1])
-                    mean = flat.mean(0)
-                    _, _, vt = np.linalg.svd(
-                        flat[:: max(1, len(flat) // 2048)] - mean, full_matrices=False
-                    )
                     self.logger.log_image(
-                        step, f"val_{img_i}/{name}", get_pca_img(img, mean, vt[:3])
+                        step, f"val_{img_i}/viz/{name}",
+                        _pca(out[name].reshape(h, w, -1)),
                     )
                 elif "rgb" in name and name in out:
                     self.logger.log_image(
-                        step, f"val_{img_i}/{name}", out[name].reshape(h, w, 3)
+                        step, f"val_{img_i}/viz/{name}", out[name].reshape(h, w, 3)
                     )
             except Exception:
                 pass
