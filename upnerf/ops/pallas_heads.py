@@ -47,7 +47,13 @@ def _dot(a, b, compute_dtype):
     if compute_dtype == jnp.bfloat16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # f32 mode must request f32 MXU passes — Mosaic dot precision defaults
+    # to one bf16 pass even for f32 operands (see pallas_mlp._dot).
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _chain(x0, trunk, D, skips, compute_dtype):

@@ -44,7 +44,15 @@ def _dot(a, b, compute_dtype):
     if compute_dtype == jnp.bfloat16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # f32 mode must REQUEST f32 MXU passes: inside Mosaic, dot precision
+    # defaults to DEFAULT = one bf16 pass even for f32 operands, which
+    # silently degraded precision='float32'/'high' (measured 18% gradient
+    # divergence vs the XLA HIGHEST path on TPU).
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _fwd_kernel(
@@ -112,7 +120,7 @@ def _bwd_kernel(
             dw_ref[:] = dw_ref[:] + dW
             db_ref[:] = db_ref[:] + db
 
-        g_in = jnp.dot(g, w.T, preferred_element_type=jnp.float32)
+        g_in = _dot(g, w.T, compute_dtype)
         if i in skips and i > 0:
             dx0 = dx0 + g_in[:, :in0]
             g = g_in[:, in0:]

@@ -50,7 +50,13 @@ def _dot(a, b, compute_dtype):
     if compute_dtype == jnp.bfloat16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # f32 mode must request f32 MXU passes — Mosaic dot precision defaults
+    # to one bf16 pass even for f32 operands (see pallas_mlp._dot).
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _trunk_chain(x0, weights, D, skips, compute_dtype):
@@ -68,8 +74,12 @@ def _trunk_chain(x0, weights, D, skips, compute_dtype):
 
 def _excl_cumsum_tril(x, tril):
     """Exclusive cumsum along the last axis via a strictly-lower-triangular
-    matmul (runs on the MXU; S x S with S <= 256)."""
-    return jnp.dot(x, tril, preferred_element_type=jnp.float32)
+    matmul (runs on the MXU; S x S with S <= 256). Always f32: log-space
+    transmittance sums lose visible mantissa at bf16."""
+    return jnp.dot(
+        x, tril, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _forward_tile(x0, z, ray_cond, weights, head, D, skips, S, compute_dtype):
