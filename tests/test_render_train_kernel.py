@@ -1,0 +1,146 @@
+"""Interpreter-mode parity tests for the fused training render kernel
+(upnerf.ops.pallas_render_train) against its XLA twin — forward outputs and
+the full custom VJP (every input and weight gradient, every cotangent
+path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from upnerf.ops import pallas_render_train as rt
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(rt, "INTERPRET", True)
+
+
+D, W, IN0, F, HH, HC, C = 2, 16, 9, 8, 8, 8, 4
+SKIPS = (1,)
+R, S = 16, 12
+
+
+def make_static(use_cand, use_rgb, out_feat):
+    return rt.RTStatic(
+        D=D, skips=SKIPS, use_cand=use_cand, use_rgb=use_rgb,
+        out_feat=out_feat, precision="float32", ray_tile=8,
+    )
+
+
+def make_args(st, seed=0):
+    rng = np.random.RandomState(seed)
+
+    def arr(*shape, scale=0.5):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+    x0 = arr(R * S, IN0)
+    z = jnp.sort(jnp.asarray(rng.rand(R, S).astype(np.float32) * 4 + 0.1), -1)
+    ray_cond = arr(R, HH) if st.use_rgb else None
+    c_emb = arr(R, C) if st.use_cand else None
+    trunk = []
+    for i in range(D):
+        fan = IN0 if i == 0 else (W + IN0 if i in SKIPS else W)
+        trunk.append((arr(fan, W, scale=0.3), arr(W, scale=0.1)))
+    trunk = tuple(trunk)
+    heads = {
+        "xyzf_w": arr(W, W, scale=0.3), "xyzf_b": arr(W, scale=0.1),
+        "sigma_w": arr(W, 1, scale=0.3), "sigma_b": arr(1, scale=0.1),
+    }
+    if st.use_feat:
+        heads["feat_w"] = arr(W, F, scale=0.3)
+        heads["feat_b"] = arr(F, scale=0.1)
+    if st.use_rgb:
+        heads["rgb1_w"] = arr(F, HH, scale=0.3)
+        heads["rgb2_w"] = arr(HH, 3, scale=0.3)
+        heads["rgb2_b"] = arr(3, scale=0.1)
+    if st.use_cand:
+        heads.update(
+            c1x_w=arr(W, HC, scale=0.3), c1c_w=arr(C, HC, scale=0.3),
+            c1_b=arr(HC, scale=0.1), c2_w=arr(HC, HC, scale=0.3),
+            c2_b=arr(HC, scale=0.1), csig_w=arr(HC, 1, scale=0.3),
+            csig_b=arr(1, scale=0.1), cfeat_w=arr(HC, F, scale=0.3),
+            cfeat_b=arr(F, scale=0.1),
+        )
+    return x0, z, ray_cond, c_emb, trunk, heads
+
+
+COMBOS = [
+    (True, True, True),    # phase 1 blended (flagship)
+    (True, False, True),   # phase 0 feature/candidate
+    (False, True, False),  # phase 2 rgb-only
+    (False, True, True),   # phase<2 with candidate disabled (TTO-style)
+]
+
+
+@pytest.mark.parametrize("use_cand,use_rgb,out_feat", COMBOS)
+class TestForwardParity:
+    def test_outputs_match_xla_twin(self, use_cand, use_rgb, out_feat):
+        st = make_static(use_cand, use_rgb, out_feat)
+        args = make_args(st)
+        got = rt.fused_render_train(*args, st)
+        want = rt.xla_render_train(*args, st)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), rtol=2e-5,
+                atol=2e-5, err_msg=k,
+            )
+
+
+@pytest.mark.parametrize("use_cand,use_rgb,out_feat", COMBOS)
+class TestVJPParity:
+    def test_grads_match_xla_twin(self, use_cand, use_rgb, out_feat):
+        st = make_static(use_cand, use_rgb, out_feat)
+        x0, z, ray_cond, c_emb, trunk, heads = make_args(st)
+        rng = np.random.RandomState(7)
+        ref = rt.xla_render_train(x0, z, ray_cond, c_emb, trunk, heads, st)
+        cots = {
+            k: jnp.asarray(rng.randn(*np.shape(v)).astype(np.float32))
+            for k, v in ref.items()
+        }
+
+        def loss(fn):
+            def f(x0_, cond_, cemb_, trunk_, heads_):
+                out = fn(x0_, z, cond_, cemb_, trunk_, heads_, st)
+                return sum((out[k] * cots[k]).sum() for k in out)
+            return f
+
+        diff_args = (x0, ray_cond, c_emb, trunk, heads)
+        g_fused = jax.grad(loss(rt.fused_render_train), argnums=(0, 1, 2, 3, 4))(
+            *diff_args
+        )
+        g_xla = jax.grad(loss(rt.xla_render_train), argnums=(0, 1, 2, 3, 4))(
+            *diff_args
+        )
+        flat_f, _ = jax.tree.flatten(g_fused)
+        flat_x, tree = jax.tree.flatten(g_xla)
+        assert len(flat_f) == len(flat_x)
+        for a, b in zip(flat_f, flat_x):
+            scale = max(1e-3, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale,
+                rtol=5e-4, atol=5e-5,
+            )
+
+    def test_live_cotangents_only(self, use_cand, use_rgb, out_feat):
+        """The training loss only touches feat/rgb/depth — exercise exactly
+        that cotangent structure (zeros elsewhere arrive materialized)."""
+        st = make_static(use_cand, use_rgb, out_feat)
+        x0, z, ray_cond, c_emb, trunk, heads = make_args(st, seed=3)
+        live = [k for k in ("feat_map", "rgb_map", "s_depth") if k in st.out_keys]
+
+        def loss(fn):
+            def f(x0_, trunk_):
+                out = fn(x0_, z, ray_cond, c_emb, trunk_, heads, st)
+                return sum(out[k].sum() for k in live)
+            return f
+
+        gf = jax.grad(loss(rt.fused_render_train), argnums=(0, 1))(x0, trunk)
+        gx = jax.grad(loss(rt.xla_render_train), argnums=(0, 1))(x0, trunk)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+            scale = max(1e-3, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale,
+                rtol=5e-4, atol=5e-5,
+            )

@@ -1,0 +1,770 @@
+"""Pallas TPU kernel: fully-fused TRAINING render — trunk + heads +
+candidate branch + RGB head + alpha compositing, forward AND backward.
+
+This is the training-path completion of the forward-only mega-kernel
+(pallas_render.py): the round-1 profile showed ~28 ms of the 84 ms blended
+train step is HBM round-trips of per-SAMPLE tensors — the (N, 256) trunk
+output and the (N, 384) s_feat/c_feat maps — between the head matmuls, the
+compositing reductions, and their backward reads (docs/ROADMAP.md). Here
+nothing per-sample ever reaches HBM except the PE input and its gradient:
+the kernel consumes x0 = PE(xyz) and emits only per-RAY maps plus the
+(R, S) sample weights.
+
+Math covered (models/nerf.py:80-124, models/rendering.py:86-219):
+
+  h       = trunk(x0)                       # D x dense+ReLU, skip concat
+  s_sigma = softplus(h @ Ws + bs)
+  xyzf    = h @ Wx + bx
+  s_feat  = xyzf @ Wf + bf                                  [feat or rgb]
+  rgbh    = relu(s_feat @ Wr1 + ray_cond); rgb = sigmoid(rgbh @ Wr2 + br2)
+  cand    : h1 = relu(xyzf @ Wc1x + (c_emb @ Wc1c + b1));  h2 = relu(...)
+            c_sigma = softplus(h2 @ Wcs); c_feat = h2 @ Wcf + bcf
+  compositing (exact volume.py semantics, last delta 1e2):
+    T_s  = exp(-excl_cumsum(delta * s_sigma))     s-only transmittance
+    ow   = (1 - exp(-delta*s_sigma)) * T_s        -> s_weights, s_rgb, s_depth
+    T_j  = exp(-excl_cumsum(delta * (s_sigma + c_sigma)))
+    sw/cw/jw = a_s/a_c/a_j * T_j                  -> feat, c_weights, c_depth,
+                                                     t_weight
+
+The backward is a single custom-VJP kernel: because every live cotangent
+entering the render is PER-RAY (g_feat (R,F), g_rgb (R,3), g_depth (R,)),
+the per-sample cotangents are rank-1 expansions (w_s * g[r]) plus a
+division-free compositing chain term:
+
+  d s_sigma_s = delta_s * [ e_s T_s g_ow_s  - suffix_{t>s}(g_ow_t ow_t) ]
+              + delta_s * [ e^a_s T_j g_sw_s + e^j_s T_j g_jw_s - suffix(m) ]
+  d c_sigma_s = delta_s * [ e^b_s T_j g_cw_s + e^j_s T_j g_jw_s - suffix(m) ]
+      with m_t = g_sw_t sw_t + g_cw_t cw_t + g_jw_t jw_t,  e = exp(-delta*sigma)
+
+(the exclusive prefix/suffix sums run as strictly-triangular S x S matmuls
+on the MXU). The kernel recomputes the activation chain twice per tile —
+once to collect the per-sample scalars (sigmas and the inner products
+<g_feat, feat_s> etc), once for the reverse weight-gradient walk — in
+ray-subgroup subtiles so the stored chain always fits VMEM; all weight
+gradients accumulate across the sequential grid.
+
+Gradients are returned for x0, ray_cond, c_emb and every weight; z_vals has
+no trainable ancestry anywhere in the training path (coarse z comes from
+scene near/far constants; fine z passes through the stop_gradient'ed
+importance weights, models/rendering.py:271,280), so its cotangent is None.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Set True to run in the Pallas interpreter (CPU tests).
+INTERPRET = False
+
+LAST_DELTA = 1e2  # models/rendering.py:126-128
+
+HEAD_BASE = ("xyzf_w", "xyzf_b", "sigma_w", "sigma_b")
+HEAD_FEAT = ("feat_w", "feat_b")
+HEAD_RGB = ("rgb1_w", "rgb2_w", "rgb2_b")
+HEAD_CAND = (
+    "c1x_w", "c1c_w", "c1_b", "c2_w", "c2_b",
+    "csig_w", "csig_b", "cfeat_w", "cfeat_b",
+)
+
+
+class RTStatic(NamedTuple):
+    """Static (hashable) kernel configuration."""
+
+    D: int
+    skips: Tuple[int, ...]
+    use_cand: bool
+    use_rgb: bool
+    out_feat: bool
+    precision: str = "float32"
+    ray_tile: int = 8
+
+    @property
+    def use_feat(self) -> bool:
+        return self.out_feat or self.use_rgb
+
+    @property
+    def head_keys(self) -> Tuple[str, ...]:
+        keys = list(HEAD_BASE)
+        if self.use_feat:
+            keys += HEAD_FEAT
+        if self.use_rgb:
+            keys += HEAD_RGB
+        if self.use_cand:
+            keys += HEAD_CAND
+        return tuple(keys)
+
+    @property
+    def out_keys(self) -> Tuple[str, ...]:
+        keys = ["s_weights", "s_depth"]
+        if self.use_rgb:
+            keys.append("rgb_map")
+        if self.out_feat:
+            keys.append("feat_map")
+        if self.use_cand:
+            keys += ["j_weights", "c_depth", "t_weight"]
+        return tuple(keys)
+
+
+def _dot(a, b, compute_dtype):
+    if compute_dtype == jnp.bfloat16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # f32 mode must request f32 MXU passes (see pallas_mlp._dot: Mosaic dot
+    # precision defaults to one bf16 pass even for f32 operands).
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _tri(S: int, lower: bool) -> jnp.ndarray:
+    r = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return (r > c if lower else r < c).astype(jnp.float32)
+
+
+def _prefix_excl(x, S):
+    """out[:, s] = sum_{t<s} x[:, t] — strictly-upper matmul (MXU)."""
+    return jnp.dot(
+        x, _tri(S, lower=False), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _suffix_excl(x, S):
+    """out[:, s] = sum_{t>s} x[:, t] — strictly-lower matmul (MXU)."""
+    return jnp.dot(
+        x, _tri(S, lower=True), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _trunk_chain(x0, trunk, D, skips, cdt):
+    inputs, acts = [], []
+    h = x0
+    for i in range(D):
+        if i in skips and i > 0:
+            h = jnp.concatenate([x0, h], axis=-1)
+        inputs.append(h)
+        w, b = trunk[i]
+        h = jnp.maximum(_dot(h, w, cdt) + b, 0.0)
+        acts.append(h)
+    return inputs, acts
+
+
+def _deltas(z):
+    R = z.shape[0]
+    return jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full((R, 1), LAST_DELTA, jnp.float32)], -1
+    )
+
+
+def _group_rows(st: RTStatic, S: int, in0: int, W: int) -> int:
+    """Rays per in-kernel subgroup: keep the stored activation chain +
+    head tensors under ~6 MB of VMEM."""
+    bpe = 2 if st.precision == "bfloat16" else 4
+    per_row = (st.D + 6) * W * bpe  # chain + head tensors, coarse bound
+    budget = 6 * 2**20
+    g = max(1, budget // max(S * per_row, 1))
+    while st.ray_tile % g != 0:
+        g -= 1
+    return g
+
+
+def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt):
+    """Head math for one subgroup. h: (M, W); cond_g: (G, Hh) per-ray rgb
+    conditioning; cemb_ray: (G, C). Returns dict of per-sample tensors."""
+    o: Dict[str, jnp.ndarray] = {}
+    o["sig_pre"] = _dot(h, heads["sigma_w"], cdt) + heads["sigma_b"]
+    o["sigma"] = jax.nn.softplus(o["sig_pre"])
+    xyzf = _dot(h, heads["xyzf_w"], cdt) + heads["xyzf_b"]
+    o["xyzf"] = xyzf
+    if st.use_feat:
+        o["feat"] = _dot(xyzf, heads["feat_w"], cdt) + heads["feat_b"]
+    if st.use_rgb:
+        M = h.shape[0]
+        G = cond_g.shape[0]
+        Sg = M // G
+        pre = _dot(o["feat"], heads["rgb1_w"], cdt)
+        pre = (pre.reshape(G, Sg, -1) + cond_g[:, None, :]).reshape(M, -1)
+        o["rgbh"] = jnp.maximum(pre, 0.0)
+        o["rgb"] = jax.nn.sigmoid(
+            _dot(o["rgbh"], heads["rgb2_w"], cdt) + heads["rgb2_b"]
+        )
+    if st.use_cand:
+        M = h.shape[0]
+        G = cemb_ray.shape[0]
+        Sg = M // G
+        ray_part = _dot(cemb_ray, heads["c1c_w"], cdt) + heads["c1_b"]
+        pre1 = _dot(xyzf, heads["c1x_w"], cdt)
+        pre1 = (pre1.reshape(G, Sg, -1) + ray_part[:, None, :]).reshape(M, -1)
+        o["h1"] = jnp.maximum(pre1, 0.0)
+        o["h2"] = jnp.maximum(
+            _dot(o["h1"], heads["c2_w"], cdt) + heads["c2_b"], 0.0
+        )
+        o["csig_pre"] = _dot(o["h2"], heads["csig_w"], cdt) + heads["csig_b"]
+        o["c_sigma"] = jax.nn.softplus(o["csig_pre"])
+        o["c_feat"] = _dot(o["h2"], heads["cfeat_w"], cdt) + heads["cfeat_b"]
+    return o
+
+
+def _composite(sig_s, sig_c, z, st: RTStatic):
+    """All compositing quantities from the (Rt, S) sigmas. f32."""
+    S = z.shape[1]
+    delta = _deltas(z)
+    ds = delta * sig_s
+    Ts = jnp.exp(-_prefix_excl(ds, S))
+    a_s = 1.0 - jnp.exp(-ds)
+    ow = a_s * Ts
+    out = dict(delta=delta, Ts=Ts, a_s=a_s, ow=ow)
+    if st.use_cand:
+        dc = delta * sig_c
+        dj = ds + dc
+        Tj = jnp.exp(-_prefix_excl(dj, S))
+        a_c = 1.0 - jnp.exp(-dc)
+        a_j = 1.0 - jnp.exp(-dj)
+        out.update(
+            Tj=Tj, a_c=a_c, a_j=a_j, sw=a_s * Tj, cw=a_c * Tj, jw=a_j * Tj
+        )
+    return out
+
+
+def _unpack_refs(refs, names):
+    return {k: refs[i][:] for i, k in enumerate(names)}, refs[len(names):]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+
+
+def _fwd_kernel(*refs, st: RTStatic, S: int, G: int):
+    it = list(refs)
+    x_ref = it.pop(0)
+    z_ref = it.pop(0)
+    cond_ref = it.pop(0) if st.use_rgb else None
+    cemb_ref = it.pop(0) if st.use_cand else None
+    trunk = [(it.pop(0)[:], it.pop(0)[:]) for _ in range(st.D)]
+    heads = {k: it.pop(0)[:] for k in st.head_keys}
+    outs = {k: it.pop(0) for k in st.out_keys}
+    # scratch (trailing args)
+    scr = {}
+    scr["sig_s"] = it.pop(0)
+    if st.use_cand:
+        scr["sig_c"] = it.pop(0)
+    if st.use_feat and st.out_feat:
+        scr["feat"] = it.pop(0)
+        if st.use_cand:
+            scr["cfeat"] = it.pop(0)
+    if st.use_rgb:
+        scr["rgb"] = it.pop(0)
+    assert not it, len(it)
+
+    cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+    sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+    Rt = st.ray_tile
+    z = z_ref[:].astype(jnp.float32)
+
+    for g0 in range(0, Rt, G):
+        r0, r1 = g0 * S, (g0 + G) * S
+        x0 = x_ref[r0:r1, :]
+        cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
+        cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
+        _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
+        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt)
+        scr["sig_s"][g0:g0 + G, :] = o["sigma"].reshape(G, S)
+        if st.use_cand:
+            scr["sig_c"][g0:g0 + G, :] = o["c_sigma"].reshape(G, S)
+        if st.out_feat:
+            scr["feat"][r0:r1, :] = o["feat"].astype(sdt)
+            if st.use_cand:
+                scr["cfeat"][r0:r1, :] = o["c_feat"].astype(sdt)
+        if st.use_rgb:
+            scr["rgb"][r0:r1, :] = o["rgb"].astype(sdt)
+
+    sig_s = scr["sig_s"][:]
+    sig_c = scr["sig_c"][:] if st.use_cand else None
+    c = _composite(sig_s, sig_c, z, st)
+
+    outs["s_weights"][:] = c["ow"]
+    outs["s_depth"][:] = (c["ow"] * z).sum(axis=1, keepdims=True)
+    if st.use_rgb:
+        rgb = scr["rgb"][:].astype(jnp.float32).reshape(Rt, S, -1)
+        outs["rgb_map"][:] = (c["ow"][..., None] * rgb).sum(axis=1)
+    if st.out_feat:
+        f = scr["feat"][:].astype(jnp.float32)
+        wf = c["sw"] if st.use_cand else c["ow"]
+        F = f.shape[-1]
+        fm = (wf.reshape(Rt * S, 1) * f).reshape(Rt, S, F).sum(axis=1)
+        if st.use_cand:
+            g = scr["cfeat"][:].astype(jnp.float32)
+            fm = fm + (c["cw"].reshape(Rt * S, 1) * g).reshape(Rt, S, F).sum(
+                axis=1
+            )
+        outs["feat_map"][:] = fm
+    if st.use_cand:
+        outs["j_weights"][:] = c["jw"]
+        outs["c_depth"][:] = (c["jw"] * z).sum(axis=1, keepdims=True)
+        outs["t_weight"][:] = c["cw"].sum(axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+
+
+def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
+    it = list(refs)
+    x_ref = it.pop(0)
+    z_ref = it.pop(0)
+    cond_ref = it.pop(0) if st.use_rgb else None
+    cemb_ref = it.pop(0) if st.use_cand else None
+    trunk = [(it.pop(0)[:], it.pop(0)[:]) for _ in range(st.D)]
+    heads = {k: it.pop(0)[:] for k in st.head_keys}
+    cots = {k: it.pop(0) for k in st.out_keys}
+    dx_ref = it.pop(0)
+    dcond_ref = it.pop(0) if st.use_rgb else None
+    dcemb_ref = it.pop(0) if st.use_cand else None
+    dtrunk_refs = [(it.pop(0), it.pop(0)) for _ in range(st.D)]
+    dhead_refs = {k: it.pop(0) for k in st.head_keys}
+    # scratch
+    sig_s_scr = it.pop(0)
+    sig_c_scr = it.pop(0) if st.use_cand else None
+    p_scr = it.pop(0) if st.out_feat else None
+    q_scr = it.pop(0) if (st.out_feat and st.use_cand) else None
+    rr_scr = it.pop(0) if st.use_rgb else None
+    assert not it, len(it)
+
+    cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+    Rt = st.ray_tile
+    step = pl.program_id(0)
+    z = z_ref[:].astype(jnp.float32)
+
+    g_feat = cots["feat_map"][:].astype(jnp.float32) if st.out_feat else None
+    g_rgbm = cots["rgb_map"][:].astype(jnp.float32) if st.use_rgb else None
+
+    # --- pass 1: recompute, collect per-sample scalars -------------------
+    for g0 in range(0, Rt, G):
+        r0, r1 = g0 * S, (g0 + G) * S
+        x0 = x_ref[r0:r1, :]
+        cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
+        cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
+        _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
+        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt)
+        sig_s_scr[g0:g0 + G, :] = o["sigma"].reshape(G, S)
+        if st.use_cand:
+            sig_c_scr[g0:g0 + G, :] = o["c_sigma"].reshape(G, S)
+        if st.out_feat:
+            gf3 = g_feat[g0:g0 + G, None, :]  # (G, 1, F) broadcast over S
+            p_scr[g0:g0 + G, :] = (
+                o["feat"].astype(jnp.float32).reshape(G, S, -1) * gf3
+            ).sum(axis=-1)
+            if st.use_cand:
+                q_scr[g0:g0 + G, :] = (
+                    o["c_feat"].astype(jnp.float32).reshape(G, S, -1) * gf3
+                ).sum(axis=-1)
+        if st.use_rgb:
+            gr3 = g_rgbm[g0:g0 + G, None, :]
+            rr_scr[g0:g0 + G, :] = (
+                o["rgb"].astype(jnp.float32).reshape(G, S, -1) * gr3
+            ).sum(axis=-1)
+
+    # --- compositing backward (division-free, all (Rt, S) f32) -----------
+    sig_s = sig_s_scr[:]
+    sig_c = sig_c_scr[:] if st.use_cand else None
+    c = _composite(sig_s, sig_c, z, st)
+    delta = c["delta"]
+
+    g_ow = cots["s_weights"][:].astype(jnp.float32)
+    g_ow = g_ow + cots["s_depth"][:].astype(jnp.float32) * z
+    if st.use_rgb:
+        g_ow = g_ow + rr_scr[:]
+    if st.out_feat and not st.use_cand:
+        g_ow = g_ow + p_scr[:]
+
+    e_s = jnp.exp(-delta * sig_s)
+    gsig_s = delta * (e_s * c["Ts"] * g_ow - _suffix_excl(g_ow * c["ow"], S))
+
+    gsig_c = None
+    if st.use_cand:
+        g_sw = p_scr[:] if st.out_feat else jnp.zeros_like(g_ow)
+        g_cw = (
+            (q_scr[:] if st.out_feat else jnp.zeros_like(g_ow))
+            + cots["t_weight"][:].astype(jnp.float32)
+        )
+        g_jw = cots["j_weights"][:].astype(jnp.float32)
+        g_jw = g_jw + cots["c_depth"][:].astype(jnp.float32) * z
+        m = g_sw * c["sw"] + g_cw * c["cw"] + g_jw * c["jw"]
+        sfx = _suffix_excl(m, S)
+        e_c = jnp.exp(-delta * sig_c)
+        e_j = e_s * e_c
+        gsig_s = gsig_s + delta * (
+            e_s * c["Tj"] * g_sw + e_j * c["Tj"] * g_jw - sfx
+        )
+        gsig_c = delta * (e_c * c["Tj"] * g_cw + e_j * c["Tj"] * g_jw - sfx)
+
+    # softplus': dsigma/dpre = 1 - exp(-sigma)
+    g_spre = gsig_s * (1.0 - jnp.exp(-sig_s))
+    g_cpre = gsig_c * (1.0 - jnp.exp(-sig_c)) if st.use_cand else None
+
+    # per-sample rank-1 coefficients
+    cf = (c["sw"] if st.use_cand else c["ow"]) if st.out_feat else None
+    cg = c["cw"] if (st.out_feat and st.use_cand) else None
+    cr = c["ow"] if st.use_rgb else None
+
+    # --- pass 2: recompute chain, reverse walk, accumulate ---------------
+    dparams: Dict[str, Any] = {}
+
+    def _acc(name, val):
+        dparams[name] = dparams.get(name, 0.0) + val
+
+    for g0 in range(0, Rt, G):
+        r0, r1 = g0 * S, (g0 + G) * S
+        M = G * S
+        x0 = x_ref[r0:r1, :]
+        cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
+        cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
+        inputs, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
+        h = acts[-1]
+        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt)
+
+        g_xyzf = jnp.zeros((M, heads["xyzf_w"].shape[1]), jnp.float32)
+        g_f = None
+        if st.out_feat:
+            gf3 = g_feat[g0:g0 + G, None, :]  # (G, 1, F)
+            g_f = (cf[g0:g0 + G, :, None] * gf3).reshape(M, -1)
+        if st.use_rgb:
+            gr3 = g_rgbm[g0:g0 + G, None, :]
+            g_rgb = (cr[g0:g0 + G, :, None] * gr3).reshape(M, -1)
+            # sigmoid'
+            g_u = g_rgb * (o["rgb"] * (1.0 - o["rgb"])).astype(jnp.float32)
+            _acc("rgb2_w", _dot(o["rgbh"].T, g_u, cdt))
+            _acc("rgb2_b", g_u.sum(axis=0))
+            g_rgbh = _dot(g_u, heads["rgb2_w"].T, cdt) * (o["rgbh"] > 0)
+            _acc("rgb1_w", _dot(o["feat"].T, g_rgbh, cdt))
+            dcond_ref[g0:g0 + G, :] = g_rgbh.reshape(G, S, -1).sum(axis=1)
+            g_from_rgb = _dot(g_rgbh, heads["rgb1_w"].T, cdt)
+            g_f = g_from_rgb if g_f is None else g_f + g_from_rgb
+        if st.use_feat:
+            _acc("feat_w", _dot(o["xyzf"].T, g_f, cdt))
+            _acc("feat_b", g_f.sum(axis=0))
+            g_xyzf = g_xyzf + _dot(g_f, heads["feat_w"].T, cdt)
+        if st.use_cand:
+            if st.out_feat:
+                g_cf = (
+                    cg[g0:g0 + G, :, None] * g_feat[g0:g0 + G, None, :]
+                ).reshape(M, -1)
+            else:
+                g_cf = jnp.zeros((M, heads["cfeat_w"].shape[1]), jnp.float32)
+            _acc("cfeat_w", _dot(o["h2"].T, g_cf, cdt))
+            _acc("cfeat_b", g_cf.sum(axis=0))
+            g_h2 = _dot(g_cf, heads["cfeat_w"].T, cdt)
+            g_cpre_sub = g_cpre[g0:g0 + G, :, None].reshape(M, 1)
+            _acc("csig_w", _dot(o["h2"].T, g_cpre_sub, cdt))
+            _acc("csig_b", g_cpre_sub.sum(axis=0))
+            g_h2 = g_h2 + _dot(g_cpre_sub, heads["csig_w"].T, cdt)
+            g_h2 = g_h2 * (o["h2"] > 0)
+            _acc("c2_w", _dot(o["h1"].T, g_h2, cdt))
+            _acc("c2_b", g_h2.sum(axis=0))
+            g_h1 = _dot(g_h2, heads["c2_w"].T, cdt) * (o["h1"] > 0)
+            _acc("c1x_w", _dot(o["xyzf"].T, g_h1, cdt))
+            _acc("c1_b", g_h1.sum(axis=0))
+            ray_g1 = g_h1.reshape(G, S, -1).sum(axis=1)  # (G, Hc)
+            _acc("c1c_w", _dot(cemb_g.T, ray_g1, cdt))
+            dcemb_ref[g0:g0 + G, :] = _dot(ray_g1, heads["c1c_w"].T, cdt)
+            g_xyzf = g_xyzf + _dot(g_h1, heads["c1x_w"].T, cdt)
+
+        g_spre_sub = g_spre[g0:g0 + G, :, None].reshape(M, 1)
+        _acc("sigma_w", _dot(h.T, g_spre_sub, cdt))
+        _acc("sigma_b", g_spre_sub.sum(axis=0))
+        _acc("xyzf_w", _dot(h.T, g_xyzf, cdt))
+        _acc("xyzf_b", g_xyzf.sum(axis=0))
+        g_h = _dot(g_spre_sub, heads["sigma_w"].T, cdt)
+        g_h = g_h + _dot(g_xyzf, heads["xyzf_w"].T, cdt)
+
+        # trunk reverse walk
+        g = g_h
+        dx0 = jnp.zeros((M, in0), jnp.float32)
+        for i in reversed(range(st.D)):
+            w, _ = trunk[i]
+            g = g * (acts[i] > 0)
+            _acc(f"trunk{i}_w", _dot(inputs[i].T, g, cdt))
+            _acc(f"trunk{i}_b", g.sum(axis=0))
+            g_in = _dot(g, w.T, cdt)
+            if i in st.skips and i > 0:
+                dx0 = dx0 + g_in[:, :in0]
+                g = g_in[:, in0:]
+            elif i == 0:
+                dx0 = dx0 + g_in
+            else:
+                g = g_in
+        dx_ref[r0:r1, :] = dx0
+
+    @pl.when(step == 0)
+    def _init():
+        for i in range(st.D):
+            dtrunk_refs[i][0][:] = dparams[f"trunk{i}_w"]
+            dtrunk_refs[i][1][:] = dparams[f"trunk{i}_b"]
+        for k in st.head_keys:
+            dhead_refs[k][:] = dparams[k]
+
+    @pl.when(step != 0)
+    def _accum():
+        for i in range(st.D):
+            dtrunk_refs[i][0][:] = dtrunk_refs[i][0][:] + dparams[f"trunk{i}_w"]
+            dtrunk_refs[i][1][:] = dtrunk_refs[i][1][:] + dparams[f"trunk{i}_b"]
+        for k in st.head_keys:
+            dhead_refs[k][:] = dhead_refs[k][:] + dparams[k]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+
+
+def _vmem(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+def _rows(tile, dim):
+    return pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads):
+    Rt = st.ray_tile
+    S = z_vals.shape[1]
+    specs = [_rows(Rt * S, x0.shape[1]), _rows(Rt, S)]
+    flat = [x0, z_vals]
+    if st.use_rgb:
+        specs.append(_rows(Rt, ray_cond.shape[1]))
+        flat.append(ray_cond)
+    if st.use_cand:
+        specs.append(_rows(Rt, c_emb.shape[1]))
+        flat.append(c_emb)
+    for w, b in trunk:
+        specs += [_vmem(w.shape), _vmem(b.shape)]
+        flat += [w, b]
+    for k in st.head_keys:
+        specs.append(_vmem(heads[k].shape))
+        flat.append(heads[k])
+    return specs, flat
+
+
+def _out_meta(st, R, S, F):
+    """(shapes, specs) for the forward outputs, in st.out_keys order."""
+    Rt = st.ray_tile
+    shapes, specs = [], []
+    for k in st.out_keys:
+        if k in ("s_weights", "j_weights"):
+            shapes.append(jax.ShapeDtypeStruct((R, S), jnp.float32))
+            specs.append(_rows(Rt, S))
+        elif k in ("s_depth", "c_depth", "t_weight"):
+            shapes.append(jax.ShapeDtypeStruct((R, 1), jnp.float32))
+            specs.append(_rows(Rt, 1))
+        elif k == "rgb_map":
+            shapes.append(jax.ShapeDtypeStruct((R, 3), jnp.float32))
+            specs.append(_rows(Rt, 3))
+        elif k == "feat_map":
+            shapes.append(jax.ShapeDtypeStruct((R, F), jnp.float32))
+            specs.append(_rows(Rt, F))
+    return shapes, specs
+
+
+def _fwd_scratch(st, S, F, sdt):
+    Rt = st.ray_tile
+    scr = [pltpu.VMEM((Rt, S), jnp.float32)]  # sig_s
+    if st.use_cand:
+        scr.append(pltpu.VMEM((Rt, S), jnp.float32))
+    if st.out_feat:
+        scr.append(pltpu.VMEM((Rt * S, F), sdt))
+        if st.use_cand:
+            scr.append(pltpu.VMEM((Rt * S, F), sdt))
+    if st.use_rgb:
+        scr.append(pltpu.VMEM((Rt * S, 3), sdt))
+    return scr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_render_train(
+    x0: jnp.ndarray,        # (R*S, in0) PE input, ray-major
+    z_vals: jnp.ndarray,    # (R, S) — no trainable ancestry (see module doc)
+    ray_cond: Optional[jnp.ndarray],  # (R, W//2) per-ray rgb cond incl bias
+    c_emb: Optional[jnp.ndarray],     # (R, C) per-ray candidate embedding
+    trunk: Tuple,                      # ((W, b), ...)
+    heads: Dict[str, jnp.ndarray],
+    st: RTStatic,
+) -> Dict[str, jnp.ndarray]:
+    return _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st)
+
+
+def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
+    R, S = z_vals.shape
+    assert R % st.ray_tile == 0, (R, st.ray_tile)
+    F = heads["feat_w"].shape[1] if st.use_feat else 0
+    in0 = x0.shape[1]
+    W = trunk[0][0].shape[1]
+    G = _group_rows(st, S, in0, W)
+    sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+
+    in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
+    out_shapes, out_specs = _out_meta(st, R, S, F)
+
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, st=st, S=S, G=G),
+        out_shape=tuple(out_shapes),
+        grid=(R // st.ray_tile,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=_fwd_scratch(st, S, F, sdt),
+        interpret=INTERPRET,
+    )(*flat)
+    res = dict(zip(st.out_keys, outs))
+    for k in ("s_depth", "c_depth", "t_weight"):
+        if k in res:
+            res[k] = res[k][:, 0]
+    return res
+
+
+def _vjp_fwd(x0, z_vals, ray_cond, c_emb, trunk, heads, st):
+    out = _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st)
+    return out, (x0, z_vals, ray_cond, c_emb, trunk, heads)
+
+
+def _vjp_bwd(st: RTStatic, res, g):
+    x0, z_vals, ray_cond, c_emb, trunk, heads = res
+    R, S = z_vals.shape
+    in0 = x0.shape[1]
+    W = trunk[0][0].shape[1]
+    Rt = st.ray_tile
+    G = _group_rows(st, S, in0, W)
+
+    in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
+    # cotangent inputs, same layout as the outputs
+    cot_arrays, cot_specs = [], []
+    for k in st.out_keys:
+        v = g[k]
+        if k in ("s_depth", "c_depth", "t_weight"):
+            v = v.reshape(R, 1)
+        cot_arrays.append(v)
+        cot_specs.append(_rows(Rt, v.shape[1]))
+
+    out_shapes = [jax.ShapeDtypeStruct((R * S, in0), jnp.float32)]
+    out_specs = [_rows(Rt * S, in0)]
+    if st.use_rgb:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((R, ray_cond.shape[1]), jnp.float32)
+        )
+        out_specs.append(_rows(Rt, ray_cond.shape[1]))
+    if st.use_cand:
+        out_shapes.append(jax.ShapeDtypeStruct((R, c_emb.shape[1]), jnp.float32))
+        out_specs.append(_rows(Rt, c_emb.shape[1]))
+    for w, b in trunk:
+        out_shapes += [
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        ]
+        out_specs += [_vmem(w.shape), _vmem(b.shape)]
+    for k in st.head_keys:
+        out_shapes.append(jax.ShapeDtypeStruct(heads[k].shape, jnp.float32))
+        out_specs.append(_vmem(heads[k].shape))
+
+    scratch = [pltpu.VMEM((Rt, S), jnp.float32)]  # sig_s
+    if st.use_cand:
+        scratch.append(pltpu.VMEM((Rt, S), jnp.float32))
+    if st.out_feat:
+        scratch.append(pltpu.VMEM((Rt, S), jnp.float32))  # p
+        if st.use_cand:
+            scratch.append(pltpu.VMEM((Rt, S), jnp.float32))  # q
+    if st.use_rgb:
+        scratch.append(pltpu.VMEM((Rt, S), jnp.float32))  # rr
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, st=st, S=S, G=G, in0=in0),
+        out_shape=tuple(out_shapes),
+        grid=(R // Rt,),
+        in_specs=in_specs + cot_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=INTERPRET,
+    )(*flat, *cot_arrays)
+
+    i = 0
+    dx0 = outs[i]; i += 1
+    dcond = None
+    if st.use_rgb:
+        dcond = outs[i]; i += 1
+    dcemb = None
+    if st.use_cand:
+        dcemb = outs[i]; i += 1
+    dtrunk = tuple((outs[i + 2 * k], outs[i + 2 * k + 1]) for k in range(st.D))
+    i += 2 * st.D
+    dheads = {k: outs[i + j] for j, k in enumerate(st.head_keys)}
+    return dx0, None, dcond, dcemb, dtrunk, dheads
+
+
+fused_render_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# XLA twin (test oracle + non-TPU fallback) — volume.py cumprod semantics
+
+
+def xla_render_train(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
+    cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+    R, S = z_vals.shape
+    h = x0
+    for i, (w, b) in enumerate(trunk):
+        if i in st.skips and i > 0:
+            h = jnp.concatenate([x0, h], axis=-1)
+        h = jnp.maximum(_dot(h, w, cdt) + b, 0.0)
+    sig_s = jax.nn.softplus(
+        _dot(h, heads["sigma_w"], cdt) + heads["sigma_b"]
+    ).reshape(R, S)
+    xyzf = _dot(h, heads["xyzf_w"], cdt) + heads["xyzf_b"]
+    feat = rgb = None
+    if st.use_feat:
+        feat = _dot(xyzf, heads["feat_w"], cdt) + heads["feat_b"]
+    if st.use_rgb:
+        pre = _dot(feat, heads["rgb1_w"], cdt).reshape(R, S, -1)
+        rgbh = jnp.maximum(pre + ray_cond[:, None, :], 0.0).reshape(R * S, -1)
+        rgb = jax.nn.sigmoid(
+            _dot(rgbh, heads["rgb2_w"], cdt) + heads["rgb2_b"]
+        ).reshape(R, S, 3)
+    sig_c = cfeat = None
+    if st.use_cand:
+        pre1 = _dot(xyzf, heads["c1x_w"], cdt).reshape(R, S, -1)
+        ray1 = _dot(c_emb, heads["c1c_w"], cdt) + heads["c1_b"]
+        h1 = jnp.maximum(pre1 + ray1[:, None, :], 0.0).reshape(R * S, -1)
+        h2 = jnp.maximum(_dot(h1, heads["c2_w"], cdt) + heads["c2_b"], 0.0)
+        sig_c = jax.nn.softplus(
+            _dot(h2, heads["csig_w"], cdt) + heads["csig_b"]
+        ).reshape(R, S)
+        cfeat = _dot(h2, heads["cfeat_w"], cdt) + heads["cfeat_b"]
+
+    delta = _deltas(z_vals)
+    a_s = 1.0 - jnp.exp(-delta * sig_s)
+    shifted = jnp.concatenate([jnp.ones((R, 1)), 1.0 - a_s[:, :-1]], -1)
+    ow = a_s * jnp.cumprod(shifted, -1)
+    out = {"s_weights": ow, "s_depth": (ow * z_vals).sum(-1)}
+    if st.use_rgb:
+        out["rgb_map"] = (ow[..., None] * rgb).sum(1)
+    if st.use_cand:
+        a_c = 1.0 - jnp.exp(-delta * sig_c)
+        a_j = 1.0 - jnp.exp(-delta * (sig_s + sig_c))
+        shifted_j = jnp.concatenate([jnp.ones((R, 1)), 1.0 - a_j[:, :-1]], -1)
+        Tj = jnp.cumprod(shifted_j, -1)
+        sw, cw, jw = a_s * Tj, a_c * Tj, a_j * Tj
+        out["j_weights"] = jw
+        out["c_depth"] = (jw * z_vals).sum(-1)
+        out["t_weight"] = cw.sum(-1)
+        if st.out_feat:
+            out["feat_map"] = (
+                sw.reshape(R * S, 1) * feat + cw.reshape(R * S, 1) * cfeat
+            ).reshape(R, S, -1).sum(1)
+    elif st.out_feat:
+        out["feat_map"] = (ow.reshape(R * S, 1) * feat).reshape(R, S, -1).sum(1)
+    return out

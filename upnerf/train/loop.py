@@ -53,7 +53,10 @@ class Trainer:
         self.ray_offsets = np.asarray(scene_np["ray_offsets"])
         self.n_images = meta.N_images_train
 
-        self.mesh = make_mesh(hparams.get("tpu.data_axis", 0) or 0)
+        # tpu.n_devices: how many local devices join the 1-D data mesh
+        # (0 = all). "tpu.data_axis" is the deprecated round-1 name.
+        n_dev = hparams.get("tpu.n_devices", hparams.get("tpu.data_axis", 0))
+        self.mesh = make_mesh(n_dev or 0)
         self.repl = replicated_sharding(self.mesh)
         self.bsh = batch_sharding(self.mesh)
 
@@ -131,7 +134,8 @@ class Trainer:
 
         donate = bool(hp.get("tpu.donate_state", True))
         self.step_fn, self.batch_step_fn = make_train_step(
-            self.cfg, self.optimizer, self.pose_optimizer, donate=donate
+            self.cfg, self.optimizer, self.pose_optimizer, donate=donate,
+            mesh=self.mesh if len(self.mesh.devices.ravel()) > 1 else None,
         )
         self.eval_render = make_eval_render(self.cfg, hp["val.chunk_size"])
 
@@ -392,8 +396,10 @@ class Trainer:
                     self.logger.log_image(
                         step, f"val_{img_i}/viz/{name}", out[name].reshape(h, w, 3)
                     )
-            except Exception:
-                pass
+            except Exception as e:  # viz must never kill training, but
+                import warnings  # a broken panel should be visible
+
+                warnings.warn(f"val image panel {name!r} failed: {e!r}")
 
     # --- pose-error logging (models/nerf_system.py:411-450) ----------------
 

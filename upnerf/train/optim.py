@@ -22,7 +22,10 @@ def lr_schedule(lr: float, lr_end: Optional[float], max_steps: int, kind: str):
         return optax.exponential_decay(
             init_value=lr, transition_steps=1, decay_rate=gamma
         )
-    if kind == "cosine":
+    if kind in ("cosine", "CosineAnnealingLR"):
+        # reference "cosine" -> CosineAnnealingLR(T_max=max_step,
+        # eta_min=1e-8) (utils/optim.py:34-37); accept the torch class name
+        # too so reference-style yamls load unchanged.
         return optax.cosine_decay_schedule(
             init_value=lr, decay_steps=max_steps, alpha=1e-8 / lr
         )

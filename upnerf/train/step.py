@@ -230,6 +230,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     pose_optimizer: Optional[optax.GradientTransformation],
     donate: bool = False,
+    mesh=None,
 ):
     """Build the jitted train step.
 
@@ -237,7 +238,17 @@ def make_train_step(
     `phase` is static; the sampler draws the ray batch uniformly from the
     device-resident store (iid with replacement — the reference's epoch
     shuffle over ~1e8 rays is statistically indistinguishable; intentional
-    deviation)."""
+    deviation).
+
+    With ``mesh``, the device-resident path shards the gathered ray batch
+    across the mesh's data axis (the state/store stay replicated): each
+    device renders only its shard and XLA inserts the gradient all-reduce —
+    DDP semantics (train.py:70-72) without host involvement. Without it,
+    every device would redo identical work on the replicated batch."""
+    if mesh is not None:
+        from upnerf.parallel import batch_sharding
+
+        _bsh = batch_sharding(mesh)
 
     def _keys(state):
         """Wrap the checkpointed raw key data and derive this step's keys.
@@ -256,7 +267,15 @@ def make_train_step(
         idx = jax.random.randint(
             k_sample, (cfg.batch_size,), 0, store.n_rays, dtype=jnp.int32
         )
+        if mesh is not None:
+            idx = jax.lax.with_sharding_constraint(
+                idx, _bsh
+            )  # each device gathers only its shard of the batch
         batch = gather_batch(store, idx)
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, jax.tree.map(lambda _: _bsh, batch)
+            )
         return _update(state, scene, batch, k_render, next_raw, phase)
 
     def batch_step_fn(
