@@ -21,6 +21,17 @@ import os
 import numpy as np
 
 
+def _image_wh(path: str, downscale: int):
+    """(W, H) after load_rgb_u8's integer downscale, without decoding."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+    if downscale > 1:
+        w, h = w // downscale, h // downscale
+    return [w, h]
+
+
 def load_trained(result_dir: str, ckpt: str):
     """(hparams, state, n_train) from a training run directory."""
     from upnerf.config import get_from_path
@@ -50,8 +61,9 @@ def main(args) -> None:
     from upnerf.evaluate.tto import (
         TTOConfig,
         TTOGroup,
+        TTORunner,
         align_test_poses,
-        run_tto_group,
+        tto_region_size,
     )
     from upnerf.models import NeRFConfig
     from upnerf.render import RenderConfig
@@ -102,11 +114,36 @@ def main(args) -> None:
         with open(results_path) as f:
             all_metrics = json.load(f)
 
+    # Scene-global shapes: every group is padded to the SAME G and the eval
+    # grids are sized over all selected test images, so each phase's step +
+    # eval programs compile exactly once for the whole scene.
+    all_wh = np.asarray(
+        [
+            _image_wh(os.path.join(meta.image_dir, meta.image_paths[test_ids[n]]),
+                      meta.scale)
+            for n in nums
+        ],
+        np.int64,
+    )
+    runner = TTORunner(
+        frozen, cfg, hparams["nerf.appearance_dim"],
+        region_A=tto_region_size(all_wh, (0.0, 1.0)),
+        region_B=tto_region_size(all_wh, (0.5, 1.0)),
+    )
+    Hm_img = -(-int(all_wh[:, 1].max()) // 64) * 64
+    Wm_img = -(-int(all_wh[:, 0].max()) // 64) * 64
+
     key = jax.random.PRNGKey(hparams.get("seed", 42))
     for g0 in range(0, len(nums), args.group_size):
         group_nums = nums[g0 : g0 + args.group_size]
+        n_valid = len(group_nums)
+        # pad the last group to the fixed group size by repeating its final
+        # image (results for padded rows are discarded)
+        padded_nums = group_nums + [group_nums[-1]] * (
+            args.group_size - n_valid
+        )
         imgs, Ks, whs = [], [], []
-        for n in group_nums:
+        for n in padded_nums:
             id_ = test_ids[n]
             img = load_rgb_u8(
                 os.path.join(meta.image_dir, meta.image_paths[id_]), meta.scale
@@ -114,17 +151,13 @@ def main(args) -> None:
             imgs.append(img)
             Ks.append(meta.Ks[id_])
             whs.append([img.shape[1], img.shape[0]])
-        # bucket padded sizes to 64-multiples: one compiled step shape
-        # serves many groups despite heterogeneous image sizes
-        Hm = -(-max(i.shape[0] for i in imgs) // 64) * 64
-        Wm = -(-max(i.shape[1] for i in imgs) // 64) * 64
-        rgbs = np.zeros((len(imgs), Hm, Wm, 3), np.uint8)
+        rgbs = np.zeros((len(imgs), Hm_img, Wm_img, 3), np.uint8)
         for i, img in enumerate(imgs):
             rgbs[i, : img.shape[0], : img.shape[1]] = img
 
         group = TTOGroup(
             Ks=jnp.asarray(np.stack(Ks), jnp.float32),
-            base_poses=jnp.asarray(aligned_test[np.asarray(group_nums)], jnp.float32),
+            base_poses=jnp.asarray(aligned_test[np.asarray(padded_nums)], jnp.float32),
             rgbs=jnp.asarray(rgbs),
             wh=jnp.asarray(np.asarray(whs), jnp.int32),
             near_far=jnp.tile(
@@ -133,9 +166,8 @@ def main(args) -> None:
             ),
         )
         key, k = jax.random.split(key)
-        out = run_tto_group(
-            frozen, cfg, group, hparams["nerf.appearance_dim"], k, lpips=lpips
-        )
+        out = runner.run_group(group, k, lpips=lpips)
+        group_nums = group_nums[:n_valid]
         emb_dir = os.path.join(save_root, "optimized_emb_a")
         os.makedirs(emb_dir, exist_ok=True)
         for i, n in enumerate(group_nums):

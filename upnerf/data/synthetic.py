@@ -135,7 +135,13 @@ def _render_image(pose: np.ndarray, K: np.ndarray, H: int, W: int):
 
     depth = np.where(hit_any, depth, 6.0)
     inv_depth = 1.0 / np.maximum(depth, 1e-3)
-    return (np.clip(rgb, 0, 1) * 255).astype(np.uint8), inv_depth.astype(np.float32)
+    return (
+        (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+        inv_depth.astype(np.float32),
+        p.astype(np.float32),      # world hit points (sky: origin-projected)
+        hit_any,
+        d.astype(np.float32),
+    )
 
 
 def generate_scene(
@@ -150,8 +156,22 @@ def generate_scene(
     seed: int = 0,
     phototourism_layout: bool = False,
     arc: float = 0.2,
+    feature_mode: str = "color",
 ) -> dict:
-    """Write a complete scene under out_dir; returns the metadata dict."""
+    """Write a complete scene under out_dir; returns the metadata dict.
+
+    feature_mode:
+      "color" — sinusoidal projections of local image color (round-1
+        stand-in). View-consistent only where color is locally unique;
+        checker textures repeat, so wide-baseline matching is ambiguous and
+        identity-init pose recovery stalls (docs/DESIGN.md pose study).
+      "world" — random Fourier embedding of the WORLD surface point hit by
+        each feature cell's center ray: globally unique, perfectly
+        view-consistent landmarks — the property real DINO descriptors
+        supply for the reference's identity-init training
+        (datasets/phototourism.py:199-202). Use for identity-init pose
+        benchmarks.
+    """
     rng = np.random.RandomState(seed)
     n = n_train + n_test
     poses = _camera_ring(n, arc=arc)
@@ -159,6 +179,11 @@ def generate_scene(
     feat_proj = rng.randn(3, feat_dim).astype(np.float32)
     feat_phase = rng.uniform(0, 2 * np.pi, feat_dim).astype(np.float32)
     feat_freq = rng.uniform(2.0, 6.0, feat_dim).astype(np.float32)
+    # world mode: multi-octave random Fourier basis over xyz
+    world_B = (
+        rng.randn(3, feat_dim).astype(np.float32)
+        * np.geomspace(0.8, 4.0, feat_dim).astype(np.float32)
+    )
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
 
     img_dir = os.path.join(out_dir, "dense", "images")
@@ -171,22 +196,36 @@ def generate_scene(
     metadata = {}
     for i in range(n):
         name = f"{i:03d}.jpg"
-        rgb, inv_depth = _render_image(poses[i], K, H, W)
+        rgb, inv_depth, pts_w, hit, dirs_w = _render_image(poses[i], K, H, W)
         Image.fromarray(rgb).save(os.path.join(img_dir, name), quality=95)
 
-        # "DINO" features: downsampled rgb + positional channels + noise,
-        # L2-normalizable; enough structure for the feature loss to learn.
         small = np.asarray(
             Image.fromarray(rgb).resize((feat_hw, feat_hw), Image.BILINEAR),
             np.float32,
         ) / 255.0
-        # "DINO" stand-in must be VIEW-CONSISTENT at a 3-D point (real DINO
-        # descriptors of the same surface patch agree across views) — it is
-        # the phase-0 pose signal. Random sinusoidal projections of local
-        # color are world-anchored through the scene texture; image-space
-        # positional channels would act as per-view noise instead.
-        feat = np.sin(feat_freq * (small @ feat_proj) + feat_phase)
-        feat[..., :3] = small  # keep raw color in the first channels
+        if feature_mode == "world":
+            # Per-landmark descriptors: sample the world hit point at each
+            # feature cell's center pixel and embed it. Sky cells embed the
+            # (world) view direction — consistent at infinity.
+            cy = (np.arange(feat_hw) + 0.5) * H / feat_hw
+            cx = (np.arange(feat_hw) + 0.5) * W / feat_hw
+            yi = np.clip(cy.astype(int), 0, H - 1)
+            xi = np.clip(cx.astype(int), 0, W - 1)
+            p_cell = pts_w[yi][:, xi]          # (fh, fw, 3)
+            hit_cell = hit[yi][:, xi]
+            d_cell = dirs_w[yi][:, xi]
+            anchor = np.where(hit_cell[..., None], p_cell, 5.0 * d_cell)
+            feat = np.sin(anchor @ world_B + feat_phase)
+            feat[..., :3] = small[..., :3]  # color in the first channels
+        else:
+            # "DINO" stand-in must be VIEW-CONSISTENT at a 3-D point (real
+            # DINO descriptors of the same surface patch agree across
+            # views) — it is the phase-0 pose signal. Random sinusoidal
+            # projections of local color are world-anchored through the
+            # scene texture; image-space positional channels would act as
+            # per-view noise instead.
+            feat = np.sin(feat_freq * (small @ feat_proj) + feat_phase)
+            feat[..., :3] = small  # keep raw color in the first channels
         feat += 0.01 * rng.randn(*feat.shape)
         np.save(os.path.join(feat_map_dir, name[:-4] + ".npy"), feat.astype(np.float32))
 

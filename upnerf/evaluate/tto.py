@@ -262,6 +262,141 @@ def tto_region_size(
     return up(h.max()), up(region_w.max())
 
 
+class TTORunner:
+    """Scene-level TTO driver: builds every jitted program ONCE.
+
+    Round 1 rebuilt the jitted step/eval closures inside each group call,
+    so every group recompiled even at identical shapes, and the eval grid
+    was sized per group (one compile per (G, Hm, Wm) bucket). Here the
+    caller pads groups to a fixed G and supplies scene-global eval regions,
+    so both phases compile exactly one step + one eval program per scene
+    (the reference relaunches a full Lightning Trainer twice per IMAGE,
+    tto.py:119-139)."""
+
+    def __init__(
+        self,
+        frozen_params: Dict[str, Any],
+        cfg: TTOConfig,
+        appearance_dim: int,
+        region_A: Tuple[int, int],
+        region_B: Tuple[int, int],
+    ):
+        self.frozen = frozen_params
+        self.cfg = cfg
+        self.appearance_dim = appearance_dim
+        self.region_A = region_A
+        self.region_B = region_B
+        self.opt_A = optax.multi_transform(
+            {
+                "emb": optax.adam(cfg.lr_emb_pose_phase, eps=1e-8),
+                "se3": optax.adam(cfg.lr_se3, eps=1e-8),
+            },
+            {"fine_a": "emb", "se3": "se3"},
+        )
+        self.opt_B = optax.adamw(cfg.lr_emb_appearance)
+        self.step_A = make_tto_step(
+            frozen_params, cfg, self.opt_A, optimize_pose=True,
+            x_frac=(0.0, 1.0),
+        )
+        self.step_B = make_tto_step(
+            frozen_params, cfg, self.opt_B, optimize_pose=False,
+            x_frac=(0.0, 0.5),
+        )
+        self.eval_A = make_tto_eval(frozen_params, cfg, x_frac=(0.0, 1.0))
+        self.eval_B = make_tto_eval(frozen_params, cfg, x_frac=(0.5, 1.0))
+
+    def run_group(
+        self, group: TTOGroup, key: jax.Array, lpips=None, log=print
+    ) -> Dict[str, np.ndarray]:
+        """Run both TTO phases for one group; returns per-image best
+        metrics and refined poses."""
+        cfg = self.cfg
+        G = int(group.Ks.shape[0])
+        wh = np.asarray(group.wh)
+        epoch_steps_A = max(
+            1, int(np.ceil((wh[:, 0] * wh[:, 1]).max() / cfg.batch_size))
+        )
+        epoch_steps_B = max(1, epoch_steps_A // 2)
+
+        # ---- phase A: pose + embedding on the whole image -------------
+        k_init, key = jax.random.split(key)
+        trainables = {
+            "fine_a": init_embedding(k_init, G, self.appearance_dim),
+            "se3": jnp.zeros((G, 6)),
+        }
+        opt_state = self.opt_A.init(trainables)
+        Hm, Wm = self.region_A
+
+        best_psnr = np.full(G, -np.inf)
+        best_pose = np.array(
+            se3.compose([se3.se3_to_SE3(trainables["se3"]), group.base_poses])
+        )  # np.array: writable copy
+        for epoch in range(cfg.pose_epochs):
+            for _ in range(epoch_steps_A):
+                key, k = jax.random.split(key)
+                trainables, opt_state, loss = self.step_A(
+                    trainables, opt_state, group, k
+                )
+            preds, gts = self.eval_A(trainables, group, Hm, Wm)
+            cur = _masked_psnr(preds, gts, wh, (0.0, 1.0))
+            improved = cur > best_psnr
+            if improved.any():
+                refined = np.asarray(
+                    se3.compose(
+                        [se3.se3_to_SE3(trainables["se3"]), group.base_poses]
+                    )
+                )
+                best_pose[improved] = refined[improved]
+                best_psnr = np.maximum(best_psnr, cur)
+            log(f"[tto A] epoch {epoch+1}/{cfg.pose_epochs} "
+                f"loss={float(loss):.4f} psnr={cur.mean():.2f}")
+
+        # ---- phase B: appearance only, left half, eval right half -----
+        group_B = group._replace(base_poses=jnp.asarray(best_pose))
+        k_init, key = jax.random.split(key)
+        trainables = {"fine_a": init_embedding(k_init, G, self.appearance_dim)}
+        opt_state = self.opt_B.init(trainables)
+        Hm, Wm = self.region_B
+
+        best = {
+            "psnr": np.full(G, -np.inf),
+            "ssim": np.zeros(G),
+            "lpips": np.full(G, np.nan),
+        }
+        best_emb = np.zeros((G, self.appearance_dim), np.float32)
+        for epoch in range(cfg.appearance_epochs):
+            for _ in range(epoch_steps_B):
+                key, k = jax.random.split(key)
+                trainables, opt_state, loss = self.step_B(
+                    trainables, opt_state, group_B, k
+                )
+            preds, gts = self.eval_B(trainables, group_B, Hm, Wm)
+            cur = _masked_psnr(preds, gts, wh, (0.5, 1.0))
+            emb_now = np.asarray(trainables["fine_a"])
+            for g in range(G):
+                if cur[g] > best["psnr"][g]:
+                    best["psnr"][g] = cur[g]
+                    best_emb[g] = emb_now[g]
+                    pg, gg, (hh, ww) = _crop(preds, gts, wh, g, (0.5, 1.0))
+                    best["ssim"][g] = float(ssim_fn(pg, gg))
+                    if lpips is not None:
+                        best["lpips"][g] = lpips(pg, gg)
+            log(f"[tto B] epoch {epoch+1}/{cfg.appearance_epochs} "
+                f"loss={float(loss):.4f} psnr={cur.mean():.2f}")
+
+        return {
+            "psnr": best["psnr"],
+            "ssim": best["ssim"],
+            "lpips": best["lpips"],
+            "pose": best_pose,
+            "pose_psnr": best_psnr,
+            # best appearance embedding per image (the reference persists
+            # this, misleadingly named best_pose_XX.npy in phase B,
+            # models/nerf_system_optmize.py:206-210)
+            "emb": best_emb,
+        }
+
+
 def run_tto_group(
     frozen_params: Dict[str, Any],
     cfg: TTOConfig,
@@ -271,100 +406,16 @@ def run_tto_group(
     lpips=None,
     log=print,
 ) -> Dict[str, np.ndarray]:
-    """Run both TTO phases for one group; returns per-image best metrics
-    and refined poses."""
-    G = int(group.Ks.shape[0])
+    """One-shot convenience wrapper: regions sized from this group alone.
+    For multi-group runs build a TTORunner once (single compile per
+    phase)."""
     wh = np.asarray(group.wh)
-    epoch_steps_A = max(1, int(np.ceil((wh[:, 0] * wh[:, 1]).max() / cfg.batch_size)))
-    epoch_steps_B = max(1, epoch_steps_A // 2)
-
-    # ---- phase A: pose + embedding on the whole image -----------------
-    k_init, key = jax.random.split(key)
-    trainables = {
-        "fine_a": init_embedding(k_init, G, appearance_dim),
-        "se3": jnp.zeros((G, 6)),
-    }
-    opt = optax.multi_transform(
-        {
-            "emb": optax.adam(cfg.lr_emb_pose_phase, eps=1e-8),
-            "se3": optax.adam(cfg.lr_se3, eps=1e-8),
-        },
-        {"fine_a": "emb", "se3": "se3"},
+    runner = TTORunner(
+        frozen_params, cfg, appearance_dim,
+        region_A=tto_region_size(wh, (0.0, 1.0)),
+        region_B=tto_region_size(wh, (0.5, 1.0)),
     )
-    opt_state = opt.init(trainables)
-    step = make_tto_step(
-        frozen_params, cfg, opt, optimize_pose=True, x_frac=(0.0, 1.0)
-    )
-    render_full = make_tto_eval(frozen_params, cfg, x_frac=(0.0, 1.0))
-    Hm, Wm = tto_region_size(wh, (0.0, 1.0))
-
-    best_psnr = np.full(G, -np.inf)
-    best_pose = np.array(
-        se3.compose([se3.se3_to_SE3(trainables["se3"]), group.base_poses])
-    )  # np.array: writable copy
-    for epoch in range(cfg.pose_epochs):
-        for _ in range(epoch_steps_A):
-            key, k = jax.random.split(key)
-            trainables, opt_state, loss = step(trainables, opt_state, group, k)
-        preds, gts = render_full(trainables, group, Hm, Wm)
-        cur = _masked_psnr(preds, gts, wh, (0.0, 1.0))
-        improved = cur > best_psnr
-        if improved.any():
-            refined = np.asarray(
-                se3.compose([se3.se3_to_SE3(trainables["se3"]), group.base_poses])
-            )
-            best_pose[improved] = refined[improved]
-            best_psnr = np.maximum(best_psnr, cur)
-        log(f"[tto A] epoch {epoch+1}/{cfg.pose_epochs} loss={float(loss):.4f} "
-            f"psnr={cur.mean():.2f}")
-
-    # ---- phase B: appearance only, left half, eval right half ---------
-    group_B = group._replace(base_poses=jnp.asarray(best_pose))
-    k_init, key = jax.random.split(key)
-    trainables = {"fine_a": init_embedding(k_init, G, appearance_dim)}
-    opt = optax.adamw(cfg.lr_emb_appearance)
-    opt_state = opt.init(trainables)
-    step = make_tto_step(
-        frozen_params, cfg, opt, optimize_pose=False, x_frac=(0.0, 0.5)
-    )
-    render_right = make_tto_eval(frozen_params, cfg, x_frac=(0.5, 1.0))
-    Hm, Wm = tto_region_size(wh, (0.5, 1.0))
-
-    best = {
-        "psnr": np.full(G, -np.inf),
-        "ssim": np.zeros(G),
-        "lpips": np.full(G, np.nan),
-    }
-    best_emb = np.zeros((G, appearance_dim), np.float32)
-    for epoch in range(cfg.appearance_epochs):
-        for _ in range(epoch_steps_B):
-            key, k = jax.random.split(key)
-            trainables, opt_state, loss = step(trainables, opt_state, group_B, k)
-        preds, gts = render_right(trainables, group_B, Hm, Wm)
-        cur = _masked_psnr(preds, gts, wh, (0.5, 1.0))
-        emb_now = np.asarray(trainables["fine_a"])
-        for g in range(G):
-            if cur[g] > best["psnr"][g]:
-                best["psnr"][g] = cur[g]
-                best_emb[g] = emb_now[g]
-                pg, gg, (hh, ww) = _crop(preds, gts, wh, g, (0.5, 1.0))
-                best["ssim"][g] = float(ssim_fn(pg, gg))
-                if lpips is not None:
-                    best["lpips"][g] = lpips(pg, gg)
-        log(f"[tto B] epoch {epoch+1}/{cfg.appearance_epochs} "
-            f"loss={float(loss):.4f} psnr={cur.mean():.2f}")
-
-    return {
-        "psnr": best["psnr"],
-        "ssim": best["ssim"],
-        "lpips": best["lpips"],
-        "pose": best_pose,
-        "pose_psnr": best_psnr,
-        # best appearance embedding per image (the reference persists this,
-        # misleadingly named best_pose_XX.npy in phase B,
-        # models/nerf_system_optmize.py:206-210)
-        "emb": best_emb,
-    }
+    return runner.run_group(group, key, lpips=lpips, log=log)
 
 
 def _region_bounds(wh, g, x_frac):

@@ -146,6 +146,17 @@ def _suffix_excl(x, S):
     )
 
 
+def _lane0(x_gs):
+    """(G, S) per-sample scalars -> (G*S, 128) with the value in lane 0 and
+    zeros elsewhere. Mosaic cannot shape-cast (G, S) -> (G*S, 1) (lane ->
+    sublane), so rank-1 sigma cotangents go through a masked 128-lane
+    extension: h.T @ lane0(gs) puts the true (W, 1) gradient in column 0."""
+    G, S = x_gs.shape
+    ext = jnp.broadcast_to(x_gs[:, :, None], (G, S, 128)).reshape(G * S, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G * S, 128), 1)
+    return jnp.where(lane == 0, ext, 0.0)
+
+
 def _trunk_chain(x0, trunk, D, skips, cdt):
     inputs, acts = [], []
     h = x0
@@ -166,32 +177,39 @@ def _deltas(z):
     )
 
 
-def _group_rows(st: RTStatic, S: int, in0: int, W: int) -> int:
+def _group_rows(st: RTStatic, S: int, in0: int, W: int, F: int = 0) -> int:
     """Rays per in-kernel subgroup: keep the stored activation chain +
-    head tensors under ~6 MB of VMEM."""
+    head tensors under ~4 MB of VMEM (Mosaic stack accounting also covers
+    the in/out blocks, scratch, and weight-grad accumulators, so the
+    subgroup slice of the budget must stay small)."""
     bpe = 2 if st.precision == "bfloat16" else 4
-    per_row = (st.D + 6) * W * bpe  # chain + head tensors, coarse bound
-    budget = 6 * 2**20
+    per_row = (st.D + 4) * W * bpe        # trunk chain + xyzf/walk temps
+    per_row += 3 * max(F, 1) * bpe        # feat/cfeat/g_f-width tensors
+    per_row += 4 * 128 * bpe              # lane-padded (M,1)/(M,3)/lane0
+    budget = 4 * 2**20
     g = max(1, budget // max(S * per_row, 1))
     while st.ray_tile % g != 0:
         g -= 1
     return g
 
 
-def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt):
-    """Head math for one subgroup. h: (M, W); cond_g: (G, Hh) per-ray rgb
-    conditioning; cemb_ray: (G, C). Returns dict of per-sample tensors."""
+def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt, G, with_sigma=True):
+    """Head math for one subgroup. h: (M, W) with M = G*Sg; cond_g: (G, Hh)
+    per-ray rgb conditioning; cemb_ray: (G, C). Returns dict of per-sample
+    tensors. Sigmas come back as (G, Sg): an (M, 1) tensor lane-pads to 128
+    in VMEM (1.5 MB per tensor at the flagship tile), so the single-column
+    matmul results are collapsed immediately."""
     o: Dict[str, jnp.ndarray] = {}
-    o["sig_pre"] = _dot(h, heads["sigma_w"], cdt) + heads["sigma_b"]
-    o["sigma"] = jax.nn.softplus(o["sig_pre"])
+    M = h.shape[0]
+    Sg = M // G
+    if with_sigma:
+        sig_pre = _dot(h, heads["sigma_w"], cdt) + heads["sigma_b"]
+        o["sigma"] = jax.nn.softplus(sig_pre).reshape(G, Sg)
     xyzf = _dot(h, heads["xyzf_w"], cdt) + heads["xyzf_b"]
     o["xyzf"] = xyzf
     if st.use_feat:
         o["feat"] = _dot(xyzf, heads["feat_w"], cdt) + heads["feat_b"]
     if st.use_rgb:
-        M = h.shape[0]
-        G = cond_g.shape[0]
-        Sg = M // G
         pre = _dot(o["feat"], heads["rgb1_w"], cdt)
         pre = (pre.reshape(G, Sg, -1) + cond_g[:, None, :]).reshape(M, -1)
         o["rgbh"] = jnp.maximum(pre, 0.0)
@@ -199,9 +217,6 @@ def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt):
             _dot(o["rgbh"], heads["rgb2_w"], cdt) + heads["rgb2_b"]
         )
     if st.use_cand:
-        M = h.shape[0]
-        G = cemb_ray.shape[0]
-        Sg = M // G
         ray_part = _dot(cemb_ray, heads["c1c_w"], cdt) + heads["c1_b"]
         pre1 = _dot(xyzf, heads["c1x_w"], cdt)
         pre1 = (pre1.reshape(G, Sg, -1) + ray_part[:, None, :]).reshape(M, -1)
@@ -209,8 +224,9 @@ def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt):
         o["h2"] = jnp.maximum(
             _dot(o["h1"], heads["c2_w"], cdt) + heads["c2_b"], 0.0
         )
-        o["csig_pre"] = _dot(o["h2"], heads["csig_w"], cdt) + heads["csig_b"]
-        o["c_sigma"] = jax.nn.softplus(o["csig_pre"])
+        if with_sigma:
+            csig_pre = _dot(o["h2"], heads["csig_w"], cdt) + heads["csig_b"]
+            o["c_sigma"] = jax.nn.softplus(csig_pre).reshape(G, Sg)
         o["c_feat"] = _dot(o["h2"], heads["cfeat_w"], cdt) + heads["cfeat_b"]
     return o
 
@@ -277,10 +293,10 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int):
         cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
         _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
-        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt)
-        scr["sig_s"][g0:g0 + G, :] = o["sigma"].reshape(G, S)
+        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G)
+        scr["sig_s"][g0:g0 + G, :] = o["sigma"]
         if st.use_cand:
-            scr["sig_c"][g0:g0 + G, :] = o["c_sigma"].reshape(G, S)
+            scr["sig_c"][g0:g0 + G, :] = o["c_sigma"]
         if st.out_feat:
             scr["feat"][r0:r1, :] = o["feat"].astype(sdt)
             if st.use_cand:
@@ -298,15 +314,12 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int):
         rgb = scr["rgb"][:].astype(jnp.float32).reshape(Rt, S, -1)
         outs["rgb_map"][:] = (c["ow"][..., None] * rgb).sum(axis=1)
     if st.out_feat:
-        f = scr["feat"][:].astype(jnp.float32)
+        f3 = scr["feat"][:].astype(jnp.float32).reshape(Rt, S, -1)
         wf = c["sw"] if st.use_cand else c["ow"]
-        F = f.shape[-1]
-        fm = (wf.reshape(Rt * S, 1) * f).reshape(Rt, S, F).sum(axis=1)
+        fm = (wf[..., None] * f3).sum(axis=1)
         if st.use_cand:
-            g = scr["cfeat"][:].astype(jnp.float32)
-            fm = fm + (c["cw"].reshape(Rt * S, 1) * g).reshape(Rt, S, F).sum(
-                axis=1
-            )
+            g3 = scr["cfeat"][:].astype(jnp.float32).reshape(Rt, S, -1)
+            fm = fm + (c["cw"][..., None] * g3).sum(axis=1)
         outs["feat_map"][:] = fm
     if st.use_cand:
         outs["j_weights"][:] = c["jw"]
@@ -355,12 +368,12 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
         _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
-        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt)
-        sig_s_scr[g0:g0 + G, :] = o["sigma"].reshape(G, S)
+        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G)
+        sig_s_scr[g0:g0 + G, :] = o["sigma"]
         if st.use_cand:
-            sig_c_scr[g0:g0 + G, :] = o["c_sigma"].reshape(G, S)
+            sig_c_scr[g0:g0 + G, :] = o["c_sigma"]
         if st.out_feat:
-            gf3 = g_feat[g0:g0 + G, None, :]  # (G, 1, F) broadcast over S
+            gf3 = g_feat[g0:g0 + G][:, None, :]  # (G, 1, F) broadcast over S
             p_scr[g0:g0 + G, :] = (
                 o["feat"].astype(jnp.float32).reshape(G, S, -1) * gf3
             ).sum(axis=-1)
@@ -369,7 +382,7 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
                     o["c_feat"].astype(jnp.float32).reshape(G, S, -1) * gf3
                 ).sum(axis=-1)
         if st.use_rgb:
-            gr3 = g_rgbm[g0:g0 + G, None, :]
+            gr3 = g_rgbm[g0:g0 + G][:, None, :]
             rr_scr[g0:g0 + G, :] = (
                 o["rgb"].astype(jnp.float32).reshape(G, S, -1) * gr3
             ).sum(axis=-1)
@@ -431,16 +444,17 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
         inputs, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
         h = acts[-1]
-        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt)
+        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G,
+                      with_sigma=False)
 
         g_xyzf = jnp.zeros((M, heads["xyzf_w"].shape[1]), jnp.float32)
         g_f = None
         if st.out_feat:
-            gf3 = g_feat[g0:g0 + G, None, :]  # (G, 1, F)
-            g_f = (cf[g0:g0 + G, :, None] * gf3).reshape(M, -1)
+            gf3 = g_feat[g0:g0 + G][:, None, :]  # (G, 1, F)
+            g_f = (cf[g0:g0 + G][:, :, None] * gf3).reshape(M, -1)
         if st.use_rgb:
-            gr3 = g_rgbm[g0:g0 + G, None, :]
-            g_rgb = (cr[g0:g0 + G, :, None] * gr3).reshape(M, -1)
+            gr3 = g_rgbm[g0:g0 + G][:, None, :]
+            g_rgb = (cr[g0:g0 + G][:, :, None] * gr3).reshape(M, -1)
             # sigmoid'
             g_u = g_rgb * (o["rgb"] * (1.0 - o["rgb"])).astype(jnp.float32)
             _acc("rgb2_w", _dot(o["rgbh"].T, g_u, cdt))
@@ -457,17 +471,21 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         if st.use_cand:
             if st.out_feat:
                 g_cf = (
-                    cg[g0:g0 + G, :, None] * g_feat[g0:g0 + G, None, :]
+                    cg[g0:g0 + G][:, :, None] * g_feat[g0:g0 + G][:, None, :]
                 ).reshape(M, -1)
             else:
                 g_cf = jnp.zeros((M, heads["cfeat_w"].shape[1]), jnp.float32)
             _acc("cfeat_w", _dot(o["h2"].T, g_cf, cdt))
             _acc("cfeat_b", g_cf.sum(axis=0))
             g_h2 = _dot(g_cf, heads["cfeat_w"].T, cdt)
-            g_cpre_sub = g_cpre[g0:g0 + G, :, None].reshape(M, 1)
-            _acc("csig_w", _dot(o["h2"].T, g_cpre_sub, cdt))
-            _acc("csig_b", g_cpre_sub.sum(axis=0))
-            g_h2 = g_h2 + _dot(g_cpre_sub, heads["csig_w"].T, cdt)
+            g_cpre_g = g_cpre[g0:g0 + G, :]  # (G, S)
+            g_cpre_ext = _lane0(g_cpre_g)
+            _acc("csig_w", _dot(o["h2"].T, g_cpre_ext, cdt)[:, :1])
+            _acc("csig_b", g_cpre_ext.sum(axis=0)[:1])
+            g_h2 = g_h2 + (
+                g_cpre_g[:, :, None]
+                * heads["csig_w"].T.reshape(1, 1, -1)
+            ).reshape(M, -1)
             g_h2 = g_h2 * (o["h2"] > 0)
             _acc("c2_w", _dot(o["h1"].T, g_h2, cdt))
             _acc("c2_b", g_h2.sum(axis=0))
@@ -479,12 +497,15 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
             dcemb_ref[g0:g0 + G, :] = _dot(ray_g1, heads["c1c_w"].T, cdt)
             g_xyzf = g_xyzf + _dot(g_h1, heads["c1x_w"].T, cdt)
 
-        g_spre_sub = g_spre[g0:g0 + G, :, None].reshape(M, 1)
-        _acc("sigma_w", _dot(h.T, g_spre_sub, cdt))
-        _acc("sigma_b", g_spre_sub.sum(axis=0))
+        g_spre_g = g_spre[g0:g0 + G, :]  # (G, S)
+        g_spre_ext = _lane0(g_spre_g)
+        _acc("sigma_w", _dot(h.T, g_spre_ext, cdt)[:, :1])
+        _acc("sigma_b", g_spre_ext.sum(axis=0)[:1])
         _acc("xyzf_w", _dot(h.T, g_xyzf, cdt))
         _acc("xyzf_b", g_xyzf.sum(axis=0))
-        g_h = _dot(g_spre_sub, heads["sigma_w"].T, cdt)
+        g_h = (
+            g_spre_g[:, :, None] * heads["sigma_w"].T.reshape(1, 1, -1)
+        ).reshape(M, -1)
         g_h = g_h + _dot(g_xyzf, heads["xyzf_w"].T, cdt)
 
         # trunk reverse walk
@@ -524,6 +545,15 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
 
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
+
+
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM cap (default 16 MB): the flagship tile's
+    resident set (feature scratch + blocks + weights) slightly exceeds it;
+    v5e has headroom above the conservative default."""
+    if INTERPRET:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
 
 
 def _vmem(shape):
@@ -607,7 +637,7 @@ def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
     F = heads["feat_w"].shape[1] if st.use_feat else 0
     in0 = x0.shape[1]
     W = trunk[0][0].shape[1]
-    G = _group_rows(st, S, in0, W)
+    G = _group_rows(st, S, in0, W, F)
     sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
 
     in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
@@ -621,6 +651,7 @@ def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
         out_specs=tuple(out_specs),
         scratch_shapes=_fwd_scratch(st, S, F, sdt),
         interpret=INTERPRET,
+        compiler_params=_compiler_params(),
     )(*flat)
     res = dict(zip(st.out_keys, outs))
     for k in ("s_depth", "c_depth", "t_weight"):
@@ -640,7 +671,8 @@ def _vjp_bwd(st: RTStatic, res, g):
     in0 = x0.shape[1]
     W = trunk[0][0].shape[1]
     Rt = st.ray_tile
-    G = _group_rows(st, S, in0, W)
+    F = heads["feat_w"].shape[1] if st.use_feat else 0
+    G = _group_rows(st, S, in0, W, F)
 
     in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
     # cotangent inputs, same layout as the outputs
@@ -690,6 +722,7 @@ def _vjp_bwd(st: RTStatic, res, g):
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         interpret=INTERPRET,
+        compiler_params=_compiler_params(),
     )(*flat, *cot_arrays)
 
     i = 0

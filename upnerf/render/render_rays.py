@@ -51,6 +51,10 @@ class RenderConfig(NamedTuple):
     # Fuse trunk+heads+compositing into one Pallas kernel for the static
     # (phase-2) render path (upnerf.ops.pallas_render). Auto-on for TPU.
     fused_render: bool = False
+    # Fully-fused TRAINING render (upnerf.ops.pallas_render_train): trunk +
+    # heads + candidate + RGB + compositing, forward AND backward, all
+    # phases. Per-sample tensors never reach HBM. Auto-on for TPU.
+    fused_train: bool = False
     # Rematerialize the NeRF MLP in the backward pass. The flagship config
     # (2048 rays x 384 samples) fits a 16 GB v5e chip without remat and runs
     # ~1.25x faster that way (measured); enable for bigger batches/models.
@@ -67,6 +71,7 @@ class RenderConfig(NamedTuple):
             precision=hp.get("tpu.matmul_precision", "high"),
             remat=hp.get("tpu.remat", False),
             fused_render=_auto_fused(hp.get("tpu.fused_render")),
+            fused_train=_auto_fused(hp.get("tpu.fused_train")),
         )
 
 
@@ -88,6 +93,7 @@ def _inference(
     precision: str,
     remat: bool = False,
     fused_render: bool = False,
+    fused_train: bool = False,
     det: bool = False,
 ) -> None:
     """One NeRF evaluation + compositing pass (models/rendering.py:86-219).
@@ -112,6 +118,18 @@ def _inference(
         _fused_static_path(
             results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d, a_emb,
             progress=progress, precision=precision,
+        )
+        return
+
+    # Fully-fused TRAINING render: all phases, forward + backward in two
+    # Pallas kernels (upnerf.ops.pallas_render_train) — per-sample tensors
+    # never reach HBM (the round-1 step spent ~1/3 of its time on their
+    # traffic, docs/ROADMAP.md).
+    if fused_train and nerf_cfg.encode_feat and R % 8 == 0:
+        _fused_train_path(
+            results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d,
+            a_emb, c_emb, phase=phase, progress=progress,
+            precision=precision, use_candidate=use_candidate,
         )
         return
 
@@ -192,6 +210,94 @@ def _inference(
     # Static-only expected depth, always (models/rendering.py:211-218).
     only_s_weights = volume.composite_weights(s_alphas)
     results[f"s_depth_{typ}"] = volume.depth_map(only_s_weights, z_vals)
+
+
+def _fused_train_path(
+    results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d, a_emb, c_emb,
+    *, phase, progress, precision, use_candidate,
+) -> None:
+    """All-phase render through the fused training kernel
+    (upnerf.ops.pallas_render_train): trunk + sigma/feat/candidate/rgb heads
+    + both compositing branches fused, with a fully-fused custom VJP. Emits
+    exactly the result keys the XLA path produces for the phase
+    (models/rendering.py:125-218)."""
+    import jax as _jax
+
+    from upnerf.models.nerf import pe_weight, positional_encoding
+    from upnerf.ops.pallas_render_train import RTStatic, fused_render_train
+
+    R, S = z_vals.shape
+    use_rgb = phase > 0
+    out_feat = phase < 2
+    w_xyz = (
+        pe_weight(progress, nerf_cfg.xyz_L, nerf_cfg.c2f)
+        if nerf_cfg.c2f is not None
+        else None
+    )
+    x0 = positional_encoding(xyz, nerf_cfg.xyz_L, w_xyz).reshape(R * S, -1)
+
+    heads = {
+        "xyzf_w": nerf_params["xyz_final"]["w"],
+        "xyzf_b": nerf_params["xyz_final"]["b"],
+        "sigma_w": nerf_params["share_sigma"]["w"],
+        "sigma_b": nerf_params["share_sigma"]["b"],
+        "feat_w": nerf_params["feat_share"]["w"],
+        "feat_b": nerf_params["feat_share"]["b"],
+    }
+    ray_cond = None
+    if use_rgb:
+        w_dir = (
+            pe_weight(progress, nerf_cfg.dir_L, nerf_cfg.c2f)
+            if nerf_cfg.c2f is not None
+            else None
+        )
+        # Directions detached as MLP inputs (models/rendering.py:104-106).
+        dir_pe = positional_encoding(
+            _jax.lax.stop_gradient(rays_d), nerf_cfg.dir_L, w_dir
+        )
+        rgb1 = nerf_params["rgb_share"][0]
+        fd = nerf_cfg.feat_dim
+        dd = dir_pe.shape[-1]
+        # split matmul: concat(feat, dir, a) @ W == feat@W0 + dir@W1 + a@W2
+        ray_cond = dir_pe @ rgb1["w"][fd : fd + dd] + rgb1["b"]
+        if nerf_cfg.encode_appearance and a_emb is not None:
+            ray_cond = ray_cond + a_emb @ rgb1["w"][fd + dd :]
+        heads["rgb1_w"] = rgb1["w"][:fd]
+        heads["rgb2_w"] = nerf_params["rgb_share"][1]["w"]
+        heads["rgb2_b"] = nerf_params["rgb_share"][1]["b"]
+    if use_candidate:
+        c1 = nerf_params["cand_enc"][0]
+        W = nerf_cfg.W
+        heads.update(
+            c1x_w=c1["w"][:W], c1c_w=c1["w"][W:], c1_b=c1["b"],
+            c2_w=nerf_params["cand_enc"][1]["w"],
+            c2_b=nerf_params["cand_enc"][1]["b"],
+            csig_w=nerf_params["cand_sigma"]["w"],
+            csig_b=nerf_params["cand_sigma"]["b"],
+            cfeat_w=nerf_params["cand_feat"]["w"],
+            cfeat_b=nerf_params["cand_feat"]["b"],
+        )
+    trunk = tuple((p["w"], p["b"]) for p in nerf_params["trunk"])
+    st = RTStatic(
+        D=nerf_cfg.D, skips=tuple(nerf_cfg.skips), use_cand=use_candidate,
+        use_rgb=use_rgb, out_feat=out_feat, precision=precision,
+    )
+    out = fused_render_train(
+        x0, z_vals, ray_cond, c_emb if use_candidate else None, trunk, heads,
+        st,
+    )
+    if phase < 2:
+        if use_candidate:
+            results[f"c_weights_{typ}"] = out["j_weights"]
+            results[f"c_depth_{typ}"] = out["c_depth"]
+            results[f"t_weight_{typ}"] = out["t_weight"]
+        else:
+            results[f"s_weights_{typ}"] = out["s_weights"]
+        results[f"feat_{typ}"] = out["feat_map"]
+    if phase > 0:
+        results[f"s_weights_{typ}"] = out["s_weights"]
+        results[f"s_rgb_{typ}"] = out["rgb_map"]
+    results[f"s_depth_{typ}"] = out["s_depth"]
 
 
 def _fused_static_path(
@@ -317,6 +423,7 @@ def render_rays(
         precision=cfg.precision,
         remat=cfg.remat,
         fused_render=cfg.fused_render,
+        fused_train=cfg.fused_train,
         det=det,
     )
 
@@ -359,6 +466,7 @@ def render_rays(
             precision=cfg.precision,
             remat=cfg.remat,
             fused_render=cfg.fused_render,
+        fused_train=cfg.fused_train,
             det=det,
         )
     return results
