@@ -186,7 +186,10 @@ def _group_rows(st: RTStatic, S: int, in0: int, W: int, F: int = 0) -> int:
     per_row = (st.D + 4) * W * bpe        # trunk chain + xyzf/walk temps
     per_row += 3 * max(F, 1) * bpe        # feat/cfeat/g_f-width tensors
     per_row += 4 * 128 * bpe              # lane-padded (M,1)/(M,3)/lane0
-    budget = 4 * 2**20
+    # With the Mosaic VMEM cap raised to 64 MB (_compiler_params), bigger
+    # subgroups buy larger matmul M-dims (better MXU utilization); the
+    # budget keeps total residency comfortably under the cap.
+    budget = 12 * 2**20
     g = max(1, budget // max(S * per_row, 1))
     while st.ray_tile % g != 0:
         g -= 1
