@@ -70,6 +70,53 @@ class TestColmapRoundtrip:
         xyz = colmap.read_points3d_xyz(p)
         np.testing.assert_allclose(xyz, [[0.1, 0.2, 0.3]])
 
+    def test_text_model_roundtrip(self, tmp_path):
+        """Text readers (utils/colmap.py:86-110,144-174) against our text
+        writers, including a zero-track image (empty second line)."""
+        cams = {
+            1: colmap.Camera(1, "PINHOLE", 64, 48, np.array([40.0, 40.0, 32.0, 24.0])),
+            2: colmap.Camera(2, "RADIAL", 10, 10, np.array([5.0, 5.0, 5.0, 0.1, 0.01])),
+        }
+        q = colmap.rotmat2qvec(np.eye(3))
+        ims = {
+            7: colmap.Image(
+                7, q, np.array([1.0, 2.0, 3.0]), 1, "x.jpg",
+                np.array([[1.5, 2.5], [3.5, 4.5]]), np.array([10, -1], np.int64),
+            ),
+            8: colmap.Image(
+                8, q, np.array([0.0, 0.5, -1.0]), 2, "y.jpg",
+                np.zeros((0, 2)), np.zeros(0, np.int64),
+            ),
+        }
+        pts = {
+            3: colmap.Point3D(
+                3, np.array([0.1, 0.2, 0.3]), np.array([10, 20, 30]),
+                np.array(0.7), np.array([7, 8], np.int32), np.array([0, 5], np.int32),
+            )
+        }
+        cp, ip, pp = (str(tmp_path / n) for n in
+                      ("cameras.txt", "images.txt", "points3D.txt"))
+        colmap.write_cameras_text(cams, cp)
+        colmap.write_images_text(ims, ip)
+        colmap.write_points3d_text(pts, pp)
+
+        out_c = colmap.read_cameras_text(cp)
+        assert out_c[2].model == "RADIAL" and out_c[1].width == 64
+        np.testing.assert_allclose(out_c[2].params, cams[2].params)
+
+        out_i = colmap.read_images_text(ip)
+        assert out_i[7].name == "x.jpg" and out_i[8].camera_id == 2
+        np.testing.assert_allclose(out_i[7].xys, ims[7].xys)
+        np.testing.assert_array_equal(out_i[7].point3D_ids, [10, -1])
+        assert out_i[8].xys.shape == (0, 2)
+        np.testing.assert_allclose(out_i[8].tvec, [0.0, 0.5, -1.0])
+
+        out_p = colmap.read_points3d_text(pp)
+        np.testing.assert_allclose(out_p[3].xyz, [0.1, 0.2, 0.3])
+        np.testing.assert_array_equal(out_p[3].image_ids, [7, 8])
+        np.testing.assert_array_equal(out_p[3].point2D_idxs, [0, 5])
+        assert float(out_p[3].error) == 0.7
+
     def test_qvec_roundtrip(self):
         rng = np.random.RandomState(0)
         w = rng.randn(3) * 0.5

@@ -147,6 +147,125 @@ def read_points3d_xyz(path: str) -> np.ndarray:
     return xyz
 
 
+# --- text-model readers (utils/colmap.py:86-110,144-174,216-243) ------------
+# COLMAP also exports models as cameras.txt/images.txt/points3D.txt; the
+# reference ships readers for them (unused by its own pipeline but part of
+# the utility surface). Format: '#'-comment lines, whitespace-separated
+# fields; images.txt uses TWO lines per image (header, then the 2-D point
+# track as x y point3D_id triples).
+
+
+def _text_lines(path: str):
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line
+
+
+def read_cameras_text(path: str) -> Dict[int, Camera]:
+    cameras = {}
+    for line in _text_lines(path):
+        elems = line.split()
+        cam_id = int(elems[0])
+        cameras[cam_id] = Camera(
+            id=cam_id,
+            model=elems[1],
+            width=int(elems[2]),
+            height=int(elems[3]),
+            params=np.array(elems[4:], np.float64),
+        )
+    return cameras
+
+
+def read_images_text(path: str) -> Dict[int, Image]:
+    images = {}
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            elems = line.split()
+            # the track line follows the header immediately (may be empty
+            # for images with no registered 2-D points)
+            track = f.readline().split()
+            rec = (
+                np.array(track, np.float64).reshape(-1, 3)
+                if track
+                else np.zeros((0, 3))
+            )
+            img_id = int(elems[0])
+            images[img_id] = Image(
+                id=img_id,
+                qvec=np.array(elems[1:5], np.float64),
+                tvec=np.array(elems[5:8], np.float64),
+                camera_id=int(elems[8]),
+                name=elems[9],
+                xys=rec[:, :2],
+                point3D_ids=rec[:, 2].astype(np.int64),
+            )
+    return images
+
+
+def read_points3d_text(path: str) -> Dict[int, Point3D]:
+    points = {}
+    for line in _text_lines(path):
+        elems = line.split()
+        p3d_id = int(elems[0])
+        track = np.array(elems[8:], np.float64).reshape(-1, 2)
+        points[p3d_id] = Point3D(
+            id=p3d_id,
+            xyz=np.array(elems[1:4], np.float64),
+            rgb=np.array(elems[4:7], np.int64),
+            error=np.array(float(elems[7])),
+            image_ids=track[:, 0].astype(np.int32),
+            point2D_idxs=track[:, 1].astype(np.int32),
+        )
+    return points
+
+
+def write_cameras_text(cameras: Dict[int, Camera], path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n")
+        f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for cam in cameras.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} {params}\n")
+
+
+def write_images_text(images: Dict[int, Image], path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n")
+        f.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n")
+        f.write("#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for im in images.values():
+            pose = " ".join(repr(float(v)) for v in [*im.qvec, *im.tvec])
+            f.write(f"{im.id} {pose} {im.camera_id} {im.name}\n")
+            f.write(
+                " ".join(
+                    f"{repr(float(x))} {repr(float(y))} {int(pid)}"
+                    for (x, y), pid in zip(im.xys, im.point3D_ids)
+                )
+                + "\n"
+            )
+
+
+def write_points3d_text(points: Dict[int, Point3D], path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n")
+        f.write(
+            "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+            "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+        )
+        for p in points.values():
+            xyz = " ".join(repr(float(v)) for v in p.xyz)
+            rgb = " ".join(str(int(v)) for v in p.rgb)
+            track = " ".join(
+                f"{int(i)} {int(j)}" for i, j in zip(p.image_ids, p.point2D_idxs)
+            )
+            f.write(f"{p.id} {xyz} {rgb} {repr(float(p.error))} {track}\n")
+
+
 # --- writers (fixture synthesis / round-trip tooling) -----------------------
 
 
