@@ -37,11 +37,15 @@ division-free compositing chain term:
       with m_t = g_sw_t sw_t + g_cw_t cw_t + g_jw_t jw_t,  e = exp(-delta*sigma)
 
 (the exclusive prefix/suffix sums run as strictly-triangular S x S matmuls
-on the MXU). The kernel recomputes the activation chain twice per tile —
-once to collect the per-sample scalars (sigmas and the inner products
-<g_feat, feat_s> etc), once for the reverse weight-gradient walk — in
-ray-subgroup subtiles so the stored chain always fits VMEM; all weight
-gradients accumulate across the sequential grid.
+on the MXU). The forward saves cheap residuals to HBM — the (R, S) sigmas
+plus the per-sample feat/cfeat/rgb head outputs in the storage dtype
+(bf16 in bf16 mode) — so the backward needs only ONE recompute of the
+activation chain (the reverse weight-gradient walk), not two: the
+compositing backward reads the residual sigmas directly, the per-ray
+inner products <g_feat, feat_s> etc. come from the residual head outputs,
+and the walk reuses the residual feat/rgb instead of re-deriving them.
+The walk runs in ray-subgroup subtiles so the stored chain always fits
+VMEM; all weight gradients accumulate across the sequential grid.
 
 Gradients are returned for x0, ray_cond, c_emb and every weight; z_vals has
 no trainable ancestry anywhere in the training path (coarse z comes from
@@ -108,6 +112,22 @@ class RTStatic(NamedTuple):
             keys.append("feat_map")
         if self.use_cand:
             keys += ["j_weights", "c_depth", "t_weight"]
+        return tuple(keys)
+
+    @property
+    def res_keys(self) -> Tuple[str, ...]:
+        """Forward residuals saved for the backward (skip pass-1 recompute):
+        sigmas for the compositing backward, head outputs for the per-ray
+        cotangent inner products + the reverse walk."""
+        keys = ["sig_s"]
+        if self.use_cand:
+            keys.append("sig_c")
+        if self.use_feat:
+            keys.append("feat")
+        if self.out_feat and self.use_cand:
+            keys.append("cfeat")
+        if self.use_rgb:
+            keys.append("rgb")
         return tuple(keys)
 
 
@@ -196,12 +216,18 @@ def _group_rows(st: RTStatic, S: int, in0: int, W: int, F: int = 0) -> int:
     return g
 
 
-def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt, G, with_sigma=True):
+def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt, G,
+              with_sigma=True, res=None):
     """Head math for one subgroup. h: (M, W) with M = G*Sg; cond_g: (G, Hh)
     per-ray rgb conditioning; cemb_ray: (G, C). Returns dict of per-sample
     tensors. Sigmas come back as (G, Sg): an (M, 1) tensor lane-pads to 128
     in VMEM (1.5 MB per tensor at the flagship tile), so the single-column
-    matmul results are collapsed immediately."""
+    matmul results are collapsed immediately.
+
+    res (backward reverse-walk only): forward residuals for this subgroup —
+    "feat"/"rgb" replace their recompute matmuls (in bf16 mode the stored
+    value equals the recompute after the _dot input cast), and c_feat is
+    skipped entirely (the walk never reads it)."""
     o: Dict[str, jnp.ndarray] = {}
     M = h.shape[0]
     Sg = M // G
@@ -211,14 +237,20 @@ def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt, G, with_sigma=True)
     xyzf = _dot(h, heads["xyzf_w"], cdt) + heads["xyzf_b"]
     o["xyzf"] = xyzf
     if st.use_feat:
-        o["feat"] = _dot(xyzf, heads["feat_w"], cdt) + heads["feat_b"]
+        if res is not None:
+            o["feat"] = res["feat"]
+        else:
+            o["feat"] = _dot(xyzf, heads["feat_w"], cdt) + heads["feat_b"]
     if st.use_rgb:
         pre = _dot(o["feat"], heads["rgb1_w"], cdt)
         pre = (pre.reshape(G, Sg, -1) + cond_g[:, None, :]).reshape(M, -1)
         o["rgbh"] = jnp.maximum(pre, 0.0)
-        o["rgb"] = jax.nn.sigmoid(
-            _dot(o["rgbh"], heads["rgb2_w"], cdt) + heads["rgb2_b"]
-        )
+        if res is not None:
+            o["rgb"] = res["rgb"]
+        else:
+            o["rgb"] = jax.nn.sigmoid(
+                _dot(o["rgbh"], heads["rgb2_w"], cdt) + heads["rgb2_b"]
+            )
     if st.use_cand:
         ray_part = _dot(cemb_ray, heads["c1c_w"], cdt) + heads["c1_b"]
         pre1 = _dot(xyzf, heads["c1x_w"], cdt)
@@ -230,7 +262,10 @@ def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt, G, with_sigma=True)
         if with_sigma:
             csig_pre = _dot(o["h2"], heads["csig_w"], cdt) + heads["csig_b"]
             o["c_sigma"] = jax.nn.softplus(csig_pre).reshape(G, Sg)
-        o["c_feat"] = _dot(o["h2"], heads["cfeat_w"], cdt) + heads["cfeat_b"]
+        if res is None:
+            o["c_feat"] = (
+                _dot(o["h2"], heads["cfeat_w"], cdt) + heads["cfeat_b"]
+            )
     return o
 
 
@@ -263,7 +298,7 @@ def _unpack_refs(refs, names):
 # forward kernel
 
 
-def _fwd_kernel(*refs, st: RTStatic, S: int, G: int):
+def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
     it = list(refs)
     x_ref = it.pop(0)
     z_ref = it.pop(0)
@@ -272,17 +307,20 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int):
     trunk = [(it.pop(0)[:], it.pop(0)[:]) for _ in range(st.D)]
     heads = {k: it.pop(0)[:] for k in st.head_keys}
     outs = {k: it.pop(0) for k in st.out_keys}
-    # scratch (trailing args)
-    scr = {}
-    scr["sig_s"] = it.pop(0)
-    if st.use_cand:
-        scr["sig_c"] = it.pop(0)
-    if st.use_feat and st.out_feat:
-        scr["feat"] = it.pop(0)
+    if save_res:
+        # residuals are extra OUTPUTS (written per tile, read back below)
+        scr = {k: it.pop(0) for k in st.res_keys}
+    else:
+        # scratch (trailing args)
+        scr = {"sig_s": it.pop(0)}
         if st.use_cand:
-            scr["cfeat"] = it.pop(0)
-    if st.use_rgb:
-        scr["rgb"] = it.pop(0)
+            scr["sig_c"] = it.pop(0)
+        if st.out_feat:
+            scr["feat"] = it.pop(0)
+            if st.use_cand:
+                scr["cfeat"] = it.pop(0)
+        if st.use_rgb:
+            scr["rgb"] = it.pop(0)
     assert not it, len(it)
 
     cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
@@ -300,10 +338,10 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int):
         scr["sig_s"][g0:g0 + G, :] = o["sigma"]
         if st.use_cand:
             scr["sig_c"][g0:g0 + G, :] = o["c_sigma"]
-        if st.out_feat:
+        if "feat" in scr:
             scr["feat"][r0:r1, :] = o["feat"].astype(sdt)
-            if st.use_cand:
-                scr["cfeat"][r0:r1, :] = o["c_feat"].astype(sdt)
+        if "cfeat" in scr:
+            scr["cfeat"][r0:r1, :] = o["c_feat"].astype(sdt)
         if st.use_rgb:
             scr["rgb"][r0:r1, :] = o["rgb"].astype(sdt)
 
@@ -343,17 +381,12 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     trunk = [(it.pop(0)[:], it.pop(0)[:]) for _ in range(st.D)]
     heads = {k: it.pop(0)[:] for k in st.head_keys}
     cots = {k: it.pop(0) for k in st.out_keys}
+    res = {k: it.pop(0) for k in st.res_keys}
     dx_ref = it.pop(0)
     dcond_ref = it.pop(0) if st.use_rgb else None
     dcemb_ref = it.pop(0) if st.use_cand else None
     dtrunk_refs = [(it.pop(0), it.pop(0)) for _ in range(st.D)]
     dhead_refs = {k: it.pop(0) for k in st.head_keys}
-    # scratch
-    sig_s_scr = it.pop(0)
-    sig_c_scr = it.pop(0) if st.use_cand else None
-    p_scr = it.pop(0) if st.out_feat else None
-    q_scr = it.pop(0) if (st.out_feat and st.use_cand) else None
-    rr_scr = it.pop(0) if st.use_rgb else None
     assert not it, len(it)
 
     cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
@@ -364,35 +397,29 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     g_feat = cots["feat_map"][:].astype(jnp.float32) if st.out_feat else None
     g_rgbm = cots["rgb_map"][:].astype(jnp.float32) if st.use_rgb else None
 
-    # --- pass 1: recompute, collect per-sample scalars -------------------
-    for g0 in range(0, Rt, G):
-        r0, r1 = g0 * S, (g0 + G) * S
-        x0 = x_ref[r0:r1, :]
-        cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
-        cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
-        _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
-        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G)
-        sig_s_scr[g0:g0 + G, :] = o["sigma"]
+    # --- per-ray cotangent inner products from the residuals (no pass-1
+    # chain recompute: the forward saved sigmas + head outputs) -----------
+    feat_res = res["feat"][:] if st.use_feat else None
+    rgb_res = res["rgb"][:] if st.use_rgb else None
+    p_scr = q_scr = rr_scr = None
+    if st.out_feat:
+        gf3 = g_feat[:, None, :]  # (Rt, 1, F) broadcast over S
+        p_scr = (
+            feat_res.astype(jnp.float32).reshape(Rt, S, -1) * gf3
+        ).sum(axis=-1)
         if st.use_cand:
-            sig_c_scr[g0:g0 + G, :] = o["c_sigma"]
-        if st.out_feat:
-            gf3 = g_feat[g0:g0 + G][:, None, :]  # (G, 1, F) broadcast over S
-            p_scr[g0:g0 + G, :] = (
-                o["feat"].astype(jnp.float32).reshape(G, S, -1) * gf3
+            q_scr = (
+                res["cfeat"][:].astype(jnp.float32).reshape(Rt, S, -1) * gf3
             ).sum(axis=-1)
-            if st.use_cand:
-                q_scr[g0:g0 + G, :] = (
-                    o["c_feat"].astype(jnp.float32).reshape(G, S, -1) * gf3
-                ).sum(axis=-1)
-        if st.use_rgb:
-            gr3 = g_rgbm[g0:g0 + G][:, None, :]
-            rr_scr[g0:g0 + G, :] = (
-                o["rgb"].astype(jnp.float32).reshape(G, S, -1) * gr3
-            ).sum(axis=-1)
+    if st.use_rgb:
+        rr_scr = (
+            rgb_res.astype(jnp.float32).reshape(Rt, S, -1)
+            * g_rgbm[:, None, :]
+        ).sum(axis=-1)
 
     # --- compositing backward (division-free, all (Rt, S) f32) -----------
-    sig_s = sig_s_scr[:]
-    sig_c = sig_c_scr[:] if st.use_cand else None
+    sig_s = res["sig_s"][:]
+    sig_c = res["sig_c"][:] if st.use_cand else None
     c = _composite(sig_s, sig_c, z, st)
     delta = c["delta"]
 
@@ -433,7 +460,7 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     cg = c["cw"] if (st.out_feat and st.use_cand) else None
     cr = c["ow"] if st.use_rgb else None
 
-    # --- pass 2: recompute chain, reverse walk, accumulate ---------------
+    # --- reverse walk: the single chain recompute + gradient accumulate --
     dparams: Dict[str, Any] = {}
 
     def _acc(name, val):
@@ -445,10 +472,15 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         x0 = x_ref[r0:r1, :]
         cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
+        res_g = {}
+        if feat_res is not None:
+            res_g["feat"] = feat_res[r0:r1, :]
+        if rgb_res is not None:
+            res_g["rgb"] = rgb_res[r0:r1, :]
         inputs, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
         h = acts[-1]
         o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G,
-                      with_sigma=False)
+                      with_sigma=False, res=res_g)
 
         g_xyzf = jnp.zeros((M, heads["xyzf_w"].shape[1]), jnp.float32)
         g_f = None
@@ -607,6 +639,25 @@ def _out_meta(st, R, S, F):
     return shapes, specs
 
 
+def _res_meta(st, R, S, F, sdt):
+    """(shapes, specs) for the saved-for-backward residuals, res_keys
+    order. Sigmas stay f32 (the compositing backward is exact); the
+    per-sample head outputs use the storage dtype."""
+    Rt = st.ray_tile
+    shapes, specs = [], []
+    for k in st.res_keys:
+        if k in ("sig_s", "sig_c"):
+            shapes.append(jax.ShapeDtypeStruct((R, S), jnp.float32))
+            specs.append(_rows(Rt, S))
+        elif k in ("feat", "cfeat"):
+            shapes.append(jax.ShapeDtypeStruct((R * S, F), sdt))
+            specs.append(_rows(Rt * S, F))
+        elif k == "rgb":
+            shapes.append(jax.ShapeDtypeStruct((R * S, 3), sdt))
+            specs.append(_rows(Rt * S, 3))
+    return shapes, specs
+
+
 def _fwd_scratch(st, S, F, sdt):
     Rt = st.ray_tile
     scr = [pltpu.VMEM((Rt, S), jnp.float32)]  # sig_s
@@ -634,7 +685,8 @@ def fused_render_train(
     return _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st)
 
 
-def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
+def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic,
+              save_res: bool = False):
     R, S = z_vals.shape
     assert R % st.ray_tile == 0, (R, st.ray_tile)
     F = heads["feat_w"].shape[1] if st.use_feat else 0
@@ -645,37 +697,49 @@ def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
 
     in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
     out_shapes, out_specs = _out_meta(st, R, S, F)
+    if save_res:
+        res_shapes, res_specs = _res_meta(st, R, S, F, sdt)
+        out_shapes += res_shapes
+        out_specs += res_specs
+        scratch = []
+    else:
+        scratch = _fwd_scratch(st, S, F, sdt)
 
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, st=st, S=S, G=G),
+        functools.partial(_fwd_kernel, st=st, S=S, G=G, save_res=save_res),
         out_shape=tuple(out_shapes),
         grid=(R // st.ray_tile,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=_fwd_scratch(st, S, F, sdt),
+        scratch_shapes=scratch,
         interpret=INTERPRET,
         compiler_params=_compiler_params(),
     )(*flat)
-    res = dict(zip(st.out_keys, outs))
+    res = dict(zip(st.out_keys, outs[: len(st.out_keys)]))
     for k in ("s_depth", "c_depth", "t_weight"):
         if k in res:
             res[k] = res[k][:, 0]
+    if save_res:
+        return res, tuple(outs[len(st.out_keys):])
     return res
 
 
 def _vjp_fwd(x0, z_vals, ray_cond, c_emb, trunk, heads, st):
-    out = _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st)
-    return out, (x0, z_vals, ray_cond, c_emb, trunk, heads)
+    out, saved = _fwd_impl(
+        x0, z_vals, ray_cond, c_emb, trunk, heads, st, save_res=True
+    )
+    return out, (x0, z_vals, ray_cond, c_emb, trunk, heads, saved)
 
 
 def _vjp_bwd(st: RTStatic, res, g):
-    x0, z_vals, ray_cond, c_emb, trunk, heads = res
+    x0, z_vals, ray_cond, c_emb, trunk, heads, saved = res
     R, S = z_vals.shape
     in0 = x0.shape[1]
     W = trunk[0][0].shape[1]
     Rt = st.ray_tile
     F = heads["feat_w"].shape[1] if st.use_feat else 0
     G = _group_rows(st, S, in0, W, F)
+    sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
 
     in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
     # cotangent inputs, same layout as the outputs
@@ -686,6 +750,10 @@ def _vjp_bwd(st: RTStatic, res, g):
             v = v.reshape(R, 1)
         cot_arrays.append(v)
         cot_specs.append(_rows(Rt, v.shape[1]))
+    # forward residuals (same layout as the fwd's extra outputs)
+    _, res_specs = _res_meta(st, R, S, F, sdt)
+    cot_arrays += list(saved)
+    cot_specs += res_specs
 
     out_shapes = [jax.ShapeDtypeStruct((R * S, in0), jnp.float32)]
     out_specs = [_rows(Rt * S, in0)]
@@ -707,23 +775,12 @@ def _vjp_bwd(st: RTStatic, res, g):
         out_shapes.append(jax.ShapeDtypeStruct(heads[k].shape, jnp.float32))
         out_specs.append(_vmem(heads[k].shape))
 
-    scratch = [pltpu.VMEM((Rt, S), jnp.float32)]  # sig_s
-    if st.use_cand:
-        scratch.append(pltpu.VMEM((Rt, S), jnp.float32))
-    if st.out_feat:
-        scratch.append(pltpu.VMEM((Rt, S), jnp.float32))  # p
-        if st.use_cand:
-            scratch.append(pltpu.VMEM((Rt, S), jnp.float32))  # q
-    if st.use_rgb:
-        scratch.append(pltpu.VMEM((Rt, S), jnp.float32))  # rr
-
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, st=st, S=S, G=G, in0=in0),
         out_shape=tuple(out_shapes),
         grid=(R // Rt,),
         in_specs=in_specs + cot_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=scratch,
         interpret=INTERPRET,
         compiler_params=_compiler_params(),
     )(*flat, *cot_arrays)
