@@ -25,9 +25,15 @@ import argparse
 import json
 import os
 import shutil
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python scripts/bench_host_streaming.py` without installing
+# the package; do NOT use PYTHONPATH=/root/repo — it shadows modules the
+# axon TPU plugin imports and breaks backend registration
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STORE_DIR = "/tmp/upnerf_stream_store"
 
@@ -174,13 +180,24 @@ def run_tpu(store, batch_size: int, steps: int) -> None:
 
     waits = np.array(pf.waits[10:])
     pf.close()
+    # steady-state windows from the trainer's own log (the first window
+    # absorbs the jit compiles; later 50-step windows are steady-state)
+    mfile = os.path.join(
+        out_dir, hp["scene_name"], hp["exp_name"], "metrics.jsonl"
+    )
+    windows = [
+        json.loads(l)["rays_per_sec"]
+        for l in open(mfile)
+        if "rays_per_sec" in l
+    ]
     # occupancy: fraction of device requests served without blocking >1ms
     print(json.dumps({
         "mode": "tpu_streaming_train",
         "n_rays_store": int(store["px"].shape[0]),
         "batch_size": batch_size,
         "steps": steps,
-        "rays_per_sec": round(batch_size * steps / dt, 1),
+        "rays_per_sec_steady": round(float(np.median(windows[1:])), 1),
+        "rays_per_sec_incl_compile": round(batch_size * steps / dt, 1),
         "prefetch_wait_ms_p50": round(float(np.median(waits)) * 1e3, 3),
         "prefetch_wait_ms_p95": round(float(np.percentile(waits, 95)) * 1e3, 3),
         "occupancy_nonblocking": round(float((waits < 1e-3).mean()), 3),
