@@ -10,7 +10,10 @@ Usage: python scripts/analyze_pose_recovery.py <result_dir>
 """
 
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
