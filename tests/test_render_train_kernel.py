@@ -123,6 +123,64 @@ class TestVJPParity:
                 rtol=5e-4, atol=5e-5,
             )
 
+    def test_rays_frontend_matches_twin(self, use_cand, use_rgb, out_feat):
+        """xyz + annealed PE built IN-KERNEL (st.xyz_L > 0): forward and
+        the d_rays_o / d_rays_d pose-gradient path vs the XLA twin."""
+        L = 3
+        st = make_static(use_cand, use_rgb, out_feat)._replace(xyz_L=L)
+        # trunk input width must be 3 + 6L
+        rng = np.random.RandomState(11)
+
+        def arr(*shape, scale=0.5):
+            return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+        in0 = 3 + 6 * L
+        _, z, ray_cond, c_emb, _, heads = make_args(st, seed=11)
+        trunk = []
+        for i in range(D):
+            fan = in0 if i == 0 else (W + in0 if i in SKIPS else W)
+            trunk.append((arr(fan, W, scale=0.3), arr(W, scale=0.1)))
+        trunk = tuple(trunk)
+        rays_o = arr(R, 3, scale=0.2)
+        rays_d = arr(R, 3)
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        pe_w = jnp.asarray(rng.rand(L).astype(np.float32))
+        args = (rays_o, rays_d, z, pe_w, ray_cond, c_emb, trunk, heads)
+
+        got = rt.fused_render_train_rays(*args, st)
+        want = rt.xla_render_train_rays(*args, st)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), rtol=2e-5,
+                atol=2e-5, err_msg=k,
+            )
+
+        cots = {
+            k: jnp.asarray(
+                np.random.RandomState(5).randn(*np.shape(v)).astype(np.float32)
+            )
+            for k, v in want.items()
+        }
+
+        def loss(fn):
+            def f(o_, d_, cond_, cemb_, trunk_, heads_):
+                out = fn(o_, d_, z, pe_w, cond_, cemb_, trunk_, heads_, st)
+                return sum((out[k] * cots[k]).sum() for k in out)
+            return f
+
+        dargs = (rays_o, rays_d, ray_cond, c_emb, trunk, heads)
+        gf = jax.grad(loss(rt.fused_render_train_rays),
+                      argnums=tuple(range(6)))(*dargs)
+        gx = jax.grad(loss(rt.xla_render_train_rays),
+                      argnums=tuple(range(6)))(*dargs)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+            scale = max(1e-3, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale,
+                rtol=5e-4, atol=5e-5,
+            )
+
     def test_live_cotangents_only(self, use_cand, use_rgb, out_feat):
         """The training loss only touches feat/rgb/depth — exercise exactly
         that cotangent structure (zeros elsewhere arrive materialized)."""

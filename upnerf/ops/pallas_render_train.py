@@ -78,7 +78,14 @@ HEAD_CAND = (
 
 
 class RTStatic(NamedTuple):
-    """Static (hashable) kernel configuration."""
+    """Static (hashable) kernel configuration.
+
+    xyz_L > 0 selects the RAYS frontend: the kernel consumes per-ray
+    (origin, direction) + per-sample z and builds xyz = o + d*z plus the
+    annealed positional encoding IN-KERNEL (fwd and bwd), so neither the
+    (R*S, 3+6L) PE tensor nor its cotangent ever touch HBM; the backward
+    emits (R, 3) d_origin/d_direction directly (the pose-gradient path).
+    xyz_L == 0 keeps the legacy x0 interface (pre-built PE input)."""
 
     D: int
     skips: Tuple[int, ...]
@@ -87,6 +94,7 @@ class RTStatic(NamedTuple):
     out_feat: bool
     precision: str = "float32"
     ray_tile: int = 8
+    xyz_L: int = 0
 
     @property
     def use_feat(self) -> bool:
@@ -175,6 +183,74 @@ def _lane0(x_gs):
     ext = jnp.broadcast_to(x_gs[:, :, None], (G, S, 128)).reshape(G * S, 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (G * S, 128), 1)
     return jnp.where(lane == 0, ext, 0.0)
+
+
+def _f32_dot(a, b):
+    """Exact f32 matmul for the tiny PE selection contractions (bf16
+    rounding of the xyz coordinates would shift the sin arguments)."""
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pe_consts(L: int):
+    """Lane-efficient PE constants over the n = 6L encoding columns in the
+    torch layout [sin_x(L), cos_x(L), sin_y(L), cos_y(L), sin_z(L),
+    cos_z(L)] (models/nerf.py positional_encoding):
+
+      sel (3, n)   — column j reads coordinate j // 2L (selection matmul
+                     replaces per-coordinate lane slicing/broadcasts,
+                     which relayout on Mosaic);
+      wsel (L, n)  — column j takes anneal weight j % L;
+      freqmap (1,n)— 2^(j % L) * pi;
+      phasemap(1,n)— pi/2 on cos columns (cos x = sin(x + pi/2), so ONE
+                     fused sin covers the whole encoding).
+    Mosaic's tpu.iota is integer-only; build int32 then convert."""
+    n = 6 * L
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    l = j % L
+    freqmap = jnp.exp2(l.astype(jnp.float32)) * jnp.pi
+    phasemap = ((j // L) % 2).astype(jnp.float32) * (jnp.pi / 2)
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (3, n), 0)
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (3, n), 1)
+    sel = (j3 // (2 * L) == i3).astype(jnp.float32)
+    iL = jax.lax.broadcasted_iota(jnp.int32, (L, n), 0)
+    jL = jax.lax.broadcasted_iota(jnp.int32, (L, n), 1)
+    wsel = (jL % L == iL).astype(jnp.float32)
+    return sel, wsel, freqmap, phasemap
+
+
+def _pe_forward(o_g, d_g, z_g, pw_row, L):
+    """In-kernel xyz + annealed PE for one ray subgroup.
+
+    o_g, d_g: (G, 3); z_g: (G, S); pw_row: (1, L) band weights. Returns
+    x0 (G*S, 3 + 6L) plus (sp, wn) carried to the backward."""
+    G, S = z_g.shape
+    M = G * S
+    xyz = (o_g[:, None, :] + d_g[:, None, :] * z_g[..., None]).reshape(M, 3)
+    sel, wsel, freqmap, phasemap = _pe_consts(L)
+    sp = _f32_dot(xyz, sel) * freqmap + phasemap  # (M, 6L)
+    wn = _f32_dot(pw_row, wsel)  # (1, 6L)
+    enc = jnp.sin(sp) * wn
+    return jnp.concatenate([xyz, enc], axis=1), (sp, wn)
+
+
+def _pe_backward(dx0, pe_cache, z_g, L):
+    """d x0 -> (d_origin (G, 3), d_direction (G, 3)) for one subgroup.
+
+    d sin(sp) = cos(sp) dsp; column sums back onto the 3 coordinates run
+    as a (M, 6L) @ (6L, 3) selection matmul. Then the per-ray reductions
+    d_o = sum_s dxyz, d_d = sum_s dxyz * z."""
+    sp, wn = pe_cache
+    G, S = z_g.shape
+    sel, _, freqmap, _ = _pe_consts(L)
+    dspec = dx0[:, 3:] * wn * jnp.cos(sp) * freqmap
+    dxyz = dx0[:, 0:3] + _f32_dot(dspec, sel.T)
+    dxyz3 = dxyz.reshape(G, S, 3)
+    d_o = dxyz3.sum(axis=1)
+    d_d = (dxyz3 * z_g[..., None]).sum(axis=1)
+    return d_o, d_d
 
 
 def _trunk_chain(x0, trunk, D, skips, cdt):
@@ -300,8 +376,15 @@ def _unpack_refs(refs, names):
 
 def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
     it = list(refs)
-    x_ref = it.pop(0)
-    z_ref = it.pop(0)
+    if st.xyz_L:
+        o_ref = it.pop(0)
+        d_ref = it.pop(0)
+        z_ref = it.pop(0)
+        pw_ref = it.pop(0)
+        x_ref = None
+    else:
+        x_ref = it.pop(0)
+        z_ref = it.pop(0)
     cond_ref = it.pop(0) if st.use_rgb else None
     cemb_ref = it.pop(0) if st.use_cand else None
     trunk = [(it.pop(0)[:], it.pop(0)[:]) for _ in range(st.D)]
@@ -327,10 +410,17 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
     sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
     Rt = st.ray_tile
     z = z_ref[:].astype(jnp.float32)
+    pw_row = pw_ref[:].reshape(1, st.xyz_L) if st.xyz_L else None
 
     for g0 in range(0, Rt, G):
         r0, r1 = g0 * S, (g0 + G) * S
-        x0 = x_ref[r0:r1, :]
+        if st.xyz_L:
+            x0, _ = _pe_forward(
+                o_ref[g0:g0 + G, :], d_ref[g0:g0 + G, :], z[g0:g0 + G, :],
+                pw_row, st.xyz_L,
+            )
+        else:
+            x0 = x_ref[r0:r1, :]
         cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
         _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
@@ -374,15 +464,27 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
 
 def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     it = list(refs)
-    x_ref = it.pop(0)
-    z_ref = it.pop(0)
+    if st.xyz_L:
+        o_ref = it.pop(0)
+        d_ref = it.pop(0)
+        z_ref = it.pop(0)
+        pw_ref = it.pop(0)
+        x_ref = None
+    else:
+        x_ref = it.pop(0)
+        z_ref = it.pop(0)
     cond_ref = it.pop(0) if st.use_rgb else None
     cemb_ref = it.pop(0) if st.use_cand else None
     trunk = [(it.pop(0)[:], it.pop(0)[:]) for _ in range(st.D)]
     heads = {k: it.pop(0)[:] for k in st.head_keys}
     cots = {k: it.pop(0) for k in st.out_keys}
     res = {k: it.pop(0) for k in st.res_keys}
-    dx_ref = it.pop(0)
+    if st.xyz_L:
+        do_ref = it.pop(0)
+        dd_ref = it.pop(0)
+        dx_ref = None
+    else:
+        dx_ref = it.pop(0)
     dcond_ref = it.pop(0) if st.use_rgb else None
     dcemb_ref = it.pop(0) if st.use_cand else None
     dtrunk_refs = [(it.pop(0), it.pop(0)) for _ in range(st.D)]
@@ -393,6 +495,7 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     Rt = st.ray_tile
     step = pl.program_id(0)
     z = z_ref[:].astype(jnp.float32)
+    pw_row = pw_ref[:].reshape(1, st.xyz_L) if st.xyz_L else None
 
     g_feat = cots["feat_map"][:].astype(jnp.float32) if st.out_feat else None
     g_rgbm = cots["rgb_map"][:].astype(jnp.float32) if st.use_rgb else None
@@ -469,7 +572,14 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     for g0 in range(0, Rt, G):
         r0, r1 = g0 * S, (g0 + G) * S
         M = G * S
-        x0 = x_ref[r0:r1, :]
+        trig = None
+        if st.xyz_L:
+            x0, trig = _pe_forward(
+                o_ref[g0:g0 + G, :], d_ref[g0:g0 + G, :], z[g0:g0 + G, :],
+                pw_row, st.xyz_L,
+            )
+        else:
+            x0 = x_ref[r0:r1, :]
         cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
         res_g = {}
@@ -559,7 +669,14 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
                 dx0 = dx0 + g_in
             else:
                 g = g_in
-        dx_ref[r0:r1, :] = dx0
+        if st.xyz_L:
+            d_o_g, d_d_g = _pe_backward(
+                dx0, trig, z[g0:g0 + G, :], st.xyz_L
+            )
+            do_ref[g0:g0 + G, :] = d_o_g
+            dd_ref[g0:g0 + G, :] = d_d_g
+        else:
+            dx_ref[r0:r1, :] = dx0
 
     @pl.when(step == 0)
     def _init():
@@ -599,11 +716,19 @@ def _rows(tile, dim):
     return pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads):
+def _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads):
+    """front: {"x0": arr} (legacy) or {"o": .., "d": .., "pe_w": ..}."""
     Rt = st.ray_tile
     S = z_vals.shape[1]
-    specs = [_rows(Rt * S, x0.shape[1]), _rows(Rt, S)]
-    flat = [x0, z_vals]
+    if st.xyz_L:
+        specs = [
+            _rows(Rt, 3), _rows(Rt, 3), _rows(Rt, S),
+            _vmem(front["pe_w"].shape),
+        ]
+        flat = [front["o"], front["d"], z_vals, front["pe_w"]]
+    else:
+        specs = [_rows(Rt * S, front["x0"].shape[1]), _rows(Rt, S)]
+        flat = [front["x0"], z_vals]
     if st.use_rgb:
         specs.append(_rows(Rt, ray_cond.shape[1]))
         flat.append(ray_cond)
@@ -682,20 +807,45 @@ def fused_render_train(
     heads: Dict[str, jnp.ndarray],
     st: RTStatic,
 ) -> Dict[str, jnp.ndarray]:
-    return _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st)
+    assert st.xyz_L == 0
+    return _fwd_impl({"x0": x0}, z_vals, ray_cond, c_emb, trunk, heads, st)
 
 
-def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_render_train_rays(
+    rays_o: jnp.ndarray,    # (R, 3)
+    rays_d: jnp.ndarray,    # (R, 3)
+    z_vals: jnp.ndarray,    # (R, S) — no trainable ancestry
+    pe_w: jnp.ndarray,      # (L,) annealed band weights (ones if no c2f)
+    ray_cond: Optional[jnp.ndarray],
+    c_emb: Optional[jnp.ndarray],
+    trunk: Tuple,
+    heads: Dict[str, jnp.ndarray],
+    st: RTStatic,
+) -> Dict[str, jnp.ndarray]:
+    """Rays-frontend variant: xyz = o + d*z and the annealed PE are built
+    in-kernel (st.xyz_L > 0); the VJP returns d_rays_o / d_rays_d — the
+    pose-gradient path — instead of a (R*S, in0) PE cotangent."""
+    assert st.xyz_L > 0
+    front = {"o": rays_o, "d": rays_d, "pe_w": pe_w}
+    return _fwd_impl(front, z_vals, ray_cond, c_emb, trunk, heads, st)
+
+
+def _front_in0(st, front, trunk):
+    return 3 + 6 * st.xyz_L if st.xyz_L else front["x0"].shape[1]
+
+
+def _fwd_impl(front, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic,
               save_res: bool = False):
     R, S = z_vals.shape
     assert R % st.ray_tile == 0, (R, st.ray_tile)
     F = heads["feat_w"].shape[1] if st.use_feat else 0
-    in0 = x0.shape[1]
+    in0 = _front_in0(st, front, trunk)
     W = trunk[0][0].shape[1]
     G = _group_rows(st, S, in0, W, F)
     sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
 
-    in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
+    in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
     out_shapes, out_specs = _out_meta(st, R, S, F)
     if save_res:
         res_shapes, res_specs = _res_meta(st, R, S, F, sdt)
@@ -726,22 +876,30 @@ def _fwd_impl(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic,
 
 def _vjp_fwd(x0, z_vals, ray_cond, c_emb, trunk, heads, st):
     out, saved = _fwd_impl(
-        x0, z_vals, ray_cond, c_emb, trunk, heads, st, save_res=True
+        {"x0": x0}, z_vals, ray_cond, c_emb, trunk, heads, st, save_res=True
     )
-    return out, (x0, z_vals, ray_cond, c_emb, trunk, heads, saved)
+    return out, ({"x0": x0}, z_vals, ray_cond, c_emb, trunk, heads, saved)
 
 
-def _vjp_bwd(st: RTStatic, res, g):
-    x0, z_vals, ray_cond, c_emb, trunk, heads, saved = res
+def _vjp_fwd_rays(rays_o, rays_d, z_vals, pe_w, ray_cond, c_emb, trunk, heads, st):
+    front = {"o": rays_o, "d": rays_d, "pe_w": pe_w}
+    out, saved = _fwd_impl(
+        front, z_vals, ray_cond, c_emb, trunk, heads, st, save_res=True
+    )
+    return out, (front, z_vals, ray_cond, c_emb, trunk, heads, saved)
+
+
+def _bwd_impl(st: RTStatic, res, g):
+    front, z_vals, ray_cond, c_emb, trunk, heads, saved = res
     R, S = z_vals.shape
-    in0 = x0.shape[1]
+    in0 = _front_in0(st, front, trunk)
     W = trunk[0][0].shape[1]
     Rt = st.ray_tile
     F = heads["feat_w"].shape[1] if st.use_feat else 0
     G = _group_rows(st, S, in0, W, F)
     sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
 
-    in_specs, flat = _in_specs_flat(st, x0, z_vals, ray_cond, c_emb, trunk, heads)
+    in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
     # cotangent inputs, same layout as the outputs
     cot_arrays, cot_specs = [], []
     for k in st.out_keys:
@@ -755,8 +913,15 @@ def _vjp_bwd(st: RTStatic, res, g):
     cot_arrays += list(saved)
     cot_specs += res_specs
 
-    out_shapes = [jax.ShapeDtypeStruct((R * S, in0), jnp.float32)]
-    out_specs = [_rows(Rt * S, in0)]
+    if st.xyz_L:
+        out_shapes = [
+            jax.ShapeDtypeStruct((R, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R, 3), jnp.float32),
+        ]
+        out_specs = [_rows(Rt, 3), _rows(Rt, 3)]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((R * S, in0), jnp.float32)]
+        out_specs = [_rows(Rt * S, in0)]
     if st.use_rgb:
         out_shapes.append(
             jax.ShapeDtypeStruct((R, ray_cond.shape[1]), jnp.float32)
@@ -786,7 +951,12 @@ def _vjp_bwd(st: RTStatic, res, g):
     )(*flat, *cot_arrays)
 
     i = 0
-    dx0 = outs[i]; i += 1
+    if st.xyz_L:
+        d_front = (outs[0], outs[1])
+        i = 2
+    else:
+        d_front = (outs[0],)
+        i = 1
     dcond = None
     if st.use_rgb:
         dcond = outs[i]; i += 1
@@ -796,14 +966,44 @@ def _vjp_bwd(st: RTStatic, res, g):
     dtrunk = tuple((outs[i + 2 * k], outs[i + 2 * k + 1]) for k in range(st.D))
     i += 2 * st.D
     dheads = {k: outs[i + j] for j, k in enumerate(st.head_keys)}
-    return dx0, None, dcond, dcemb, dtrunk, dheads
+    return d_front, dcond, dcemb, dtrunk, dheads
+
+
+def _vjp_bwd(st: RTStatic, res, g):
+    d_front, dcond, dcemb, dtrunk, dheads = _bwd_impl(st, res, g)
+    return d_front[0], None, dcond, dcemb, dtrunk, dheads
+
+
+def _vjp_bwd_rays(st: RTStatic, res, g):
+    d_front, dcond, dcemb, dtrunk, dheads = _bwd_impl(st, res, g)
+    d_o, d_d = d_front
+    return d_o, d_d, None, None, dcond, dcemb, dtrunk, dheads
 
 
 fused_render_train.defvjp(_vjp_fwd, _vjp_bwd)
+fused_render_train_rays.defvjp(_vjp_fwd_rays, _vjp_bwd_rays)
 
 
 # ---------------------------------------------------------------------------
 # XLA twin (test oracle + non-TPU fallback) — volume.py cumprod semantics
+
+
+def xla_render_train_rays(
+    rays_o, rays_d, z_vals, pe_w, ray_cond, c_emb, trunk, heads, st: RTStatic
+):
+    """XLA twin of the rays frontend: same xyz + PE construction in jnp."""
+    L = st.xyz_L
+    R, S = z_vals.shape
+    xyz = (
+        rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    ).reshape(R * S, 3)
+    freq = 2.0 ** jnp.arange(L, dtype=jnp.float32) * jnp.pi
+    sp = xyz[:, :, None] * freq  # (M, 3, L)
+    enc = jnp.stack([jnp.sin(sp) * pe_w, jnp.cos(sp) * pe_w], axis=-2)
+    x0 = jnp.concatenate([xyz, enc.reshape(R * S, 6 * L)], axis=-1)
+    return xla_render_train(
+        x0, z_vals, ray_cond, c_emb, trunk, heads, st._replace(xyz_L=0)
+    )
 
 
 def xla_render_train(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):

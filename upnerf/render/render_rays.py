@@ -95,6 +95,7 @@ def _inference(
     fused_render: bool = False,
     fused_train: bool = False,
     det: bool = False,
+    rays_o: Optional[jnp.ndarray] = None,  # (R, 3), fused_train path only
 ) -> None:
     """One NeRF evaluation + compositing pass (models/rendering.py:86-219).
 
@@ -126,8 +127,9 @@ def _inference(
     # never reach HBM (the round-1 step spent ~1/3 of its time on their
     # traffic, docs/ROADMAP.md).
     if fused_train and nerf_cfg.encode_feat and R % 8 == 0:
+        assert rays_o is not None
         _fused_train_path(
-            results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d,
+            results, nerf_params, nerf_cfg, typ, rays_o, z_vals, rays_d,
             a_emb, c_emb, phase=phase, progress=progress,
             precision=precision, use_candidate=use_candidate,
         )
@@ -213,18 +215,24 @@ def _inference(
 
 
 def _fused_train_path(
-    results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d, a_emb, c_emb,
+    results, nerf_params, nerf_cfg, typ, rays_o, z_vals, rays_d, a_emb, c_emb,
     *, phase, progress, precision, use_candidate,
 ) -> None:
     """All-phase render through the fused training kernel
     (upnerf.ops.pallas_render_train): trunk + sigma/feat/candidate/rgb heads
-    + both compositing branches fused, with a fully-fused custom VJP. Emits
-    exactly the result keys the XLA path produces for the phase
+    + both compositing branches fused, with a fully-fused custom VJP. The
+    kernel's rays frontend builds xyz = o + d*z and the annealed PE
+    in-kernel, so the (R*S, 63) PE tensor and its cotangent never touch
+    HBM; pose gradients come back as d_rays_o / d_rays_d. Emits exactly
+    the result keys the XLA path produces for the phase
     (models/rendering.py:125-218)."""
     import jax as _jax
 
     from upnerf.models.nerf import pe_weight, positional_encoding
-    from upnerf.ops.pallas_render_train import RTStatic, fused_render_train
+    from upnerf.ops.pallas_render_train import (
+        RTStatic,
+        fused_render_train_rays,
+    )
 
     R, S = z_vals.shape
     use_rgb = phase > 0
@@ -232,9 +240,8 @@ def _fused_train_path(
     w_xyz = (
         pe_weight(progress, nerf_cfg.xyz_L, nerf_cfg.c2f)
         if nerf_cfg.c2f is not None
-        else None
+        else jnp.ones((nerf_cfg.xyz_L,), jnp.float32)
     )
-    x0 = positional_encoding(xyz, nerf_cfg.xyz_L, w_xyz).reshape(R * S, -1)
 
     heads = {
         "xyzf_w": nerf_params["xyz_final"]["w"],
@@ -281,10 +288,11 @@ def _fused_train_path(
     st = RTStatic(
         D=nerf_cfg.D, skips=tuple(nerf_cfg.skips), use_cand=use_candidate,
         use_rgb=use_rgb, out_feat=out_feat, precision=precision,
+        xyz_L=nerf_cfg.xyz_L,
     )
-    out = fused_render_train(
-        x0, z_vals, ray_cond, c_emb if use_candidate else None, trunk, heads,
-        st,
+    out = fused_render_train_rays(
+        rays_o, rays_d, z_vals, w_xyz, ray_cond,
+        c_emb if use_candidate else None, trunk, heads, st,
     )
     if phase < 2:
         if use_candidate:
@@ -434,6 +442,7 @@ def render_rays(
         fused_render=cfg.fused_render,
         fused_train=cfg.fused_train,
         det=det,
+        rays_o=rays_o,
     )
 
     if cfg.N_importance > 0:
@@ -475,7 +484,8 @@ def render_rays(
             precision=cfg.precision,
             remat=cfg.remat,
             fused_render=cfg.fused_render,
-        fused_train=cfg.fused_train,
+            fused_train=cfg.fused_train,
             det=det,
+            rays_o=rays_o,
         )
     return results
