@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--fwd_only", action="store_true")
+    ap.add_argument("--ray_tile", type=int, default=8)
     args = ap.parse_args()
 
     import os
@@ -39,7 +40,7 @@ def main():
     R, S = args.rays, args.samples
     st = rt.RTStatic(
         D=D, skips=SKIPS, use_cand=True, use_rgb=True, out_feat=True,
-        precision=args.precision,
+        precision=args.precision, ray_tile=args.ray_tile,
     )
     rng = np.random.RandomState(0)
 
