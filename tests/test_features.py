@@ -38,6 +38,30 @@ class TestViT:
         assert set(out["layers"]) == {0, 3}
 
 
+class TestChunkedAttention:
+    def test_chunked_matches_dense(self, monkeypatch):
+        """Query-chunked attention (used above ATTN_CHUNK_THRESHOLD tokens;
+        the stride-4 448 grid is 12,322 tokens whose dense score tensor is
+        ~3.6 GB) must be numerically identical to the dense path."""
+        rng = np.random.RandomState(0)
+        B, N, D, H = 1, 50, 32, 4
+        x = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+        p = {
+            "qkv": {"w": jnp.asarray(rng.randn(D, 3 * D).astype(np.float32) * 0.1),
+                    "b": jnp.zeros((3 * D,))},
+            "proj": {"w": jnp.asarray(rng.randn(D, D).astype(np.float32) * 0.1),
+                     "b": jnp.zeros((D,))},
+        }
+        dense = vit.attention(x, p, H)
+        monkeypatch.setattr(vit, "ATTN_CHUNK_THRESHOLD", 16)
+        monkeypatch.setattr(vit, "ATTN_Q_CHUNK", 16)  # N=50: pad to 64
+        chunked, keys = vit.attention(x, p, H, return_keys=True)
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(dense), rtol=1e-5, atol=1e-6
+        )
+        assert keys.shape == (B, N, D)
+
+
 class TestDino:
     def test_extractor_end_to_end(self):
         params = vit.init_vit_params(jax.random.PRNGKey(0), TINY)
@@ -75,7 +99,7 @@ class TestDPT:
         params, cfg, hooks = dpt.init_dpt_params(jax.random.PRNGKey(0), small=True)
         model = dpt.DPTDepth(params, net_size=64)
         model._jit = jax.jit(
-            lambda im: dpt.dpt_forward(params, im, cfg=cfg, hooks=hooks)
+            lambda p, im: dpt.dpt_forward(p, im, cfg=cfg, hooks=hooks)
         )
         img_path = str(tmp_path / "a.jpg")
         Image.fromarray(

@@ -36,16 +36,21 @@ class DinoExtractor:
         layer: int = 9,
         load_size: int = 448,
     ):
-        self.params = params
+        # device-resident once; passed as a jit ARGUMENT below. A closure
+        # capture would bake the weights into the graph as constants, and
+        # on remote-compile backends the whole blob serializes to the
+        # compiler per cache miss (observed as multi-minute compiles);
+        # numpy args would re-upload per call instead.
+        self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.stride = stride
         self.layer = layer
         self.load_size = load_size
         self._jit = jax.jit(self._extract)
 
-    def _extract(self, img: jnp.ndarray):
+    def _extract(self, params, img: jnp.ndarray):
         out = vit.forward_features(
-            self.params, self.cfg, img, self.stride, key_layer=self.layer
+            params, self.cfg, img, self.stride, key_layer=self.layer
         )
         gh, gw = out["grid"]
         keys = out["keys"][0, 1:]  # drop CLS -> (N, D)
@@ -63,7 +68,7 @@ class DinoExtractor:
 
     def __call__(self, image_u8: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 -> (gh, gw, 384) float32 descriptor map."""
-        return np.asarray(self._jit(self.preprocess(image_u8)))
+        return np.asarray(self._jit(self.params, self.preprocess(image_u8)))
 
 
 def pca_info(feat: np.ndarray, n_components: int = 3):

@@ -136,9 +136,12 @@ def dpt_forward(
 
 class DPTDepth:
     def __init__(self, params: Dict, net_size: int = 384):
-        self.params = params
         self.net_size = net_size
-        self._jit = jax.jit(lambda im: dpt_forward(self.params, im))
+        # device-resident params passed as a jit argument — closure capture
+        # would bake ~340 MB of ViT-L weights into the graph as constants
+        # (see DinoExtractor).
+        self.params = jax.tree.map(jnp.asarray, params)
+        self._jit = jax.jit(dpt_forward)
 
     def __call__(self, image_u8: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 -> (H, W) float32 inverse depth (resized back,
@@ -151,7 +154,7 @@ class DPTDepth:
         )
         x = np.asarray(img, np.float32) / 255.0
         x = (x - MIDAS_MEAN) / MIDAS_STD
-        pred = np.asarray(self._jit(jnp.asarray(x)))
+        pred = np.asarray(self._jit(self.params, jnp.asarray(x)))
         out = Image.fromarray(pred, mode="F").resize((w, h), Image.BICUBIC)
         return np.asarray(out, np.float32)
 

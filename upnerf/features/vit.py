@@ -68,18 +68,44 @@ def patch_embed(
     return y.reshape(1, gh * gw, d), (gh, gw)
 
 
+# Above this token count, attention runs query-chunked: the stride-4
+# 448x448 grid gives 12,322 tokens, whose dense (H, N, N) score tensor is
+# ~3.6 GB — it OOM-pressures HBM and blows remote-compile time. Chunking
+# queries is mathematically identical (each row's softmax still spans all
+# keys) and turns the graph into one small lax.map body.
+ATTN_CHUNK_THRESHOLD = 4096
+ATTN_Q_CHUNK = 1024
+
+
 def attention(x: jnp.ndarray, p: Dict, heads: int, return_keys=False):
     """Standard MHSA; optionally also return the pre-softmax keys
     (B, N, D) with heads concatenated — the 'key' descriptor facet."""
     B, N, D = x.shape
+    hd = D // heads
+    scale = 1.0 / np.sqrt(hd)
     qkv = x @ p["qkv"]["w"] + p["qkv"]["b"]  # (B, N, 3D)
-    qkv = qkv.reshape(B, N, 3, heads, D // heads)
+    qkv = qkv.reshape(B, N, 3, heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
     q = jnp.swapaxes(q, 1, 2)  # (B, H, N, hd)
     k = jnp.swapaxes(k, 1, 2)
     v = jnp.swapaxes(v, 1, 2)
-    attn = jax.nn.softmax(q @ jnp.swapaxes(k, -2, -1) / np.sqrt(D // heads), -1)
-    out = (attn @ v)  # (B, H, N, hd)
+    kT = jnp.swapaxes(k, -2, -1)
+    if N > ATTN_CHUNK_THRESHOLD:
+        C = ATTN_Q_CHUNK
+        n_pad = (-N) % C
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+        qc = qp.reshape(B, heads, -1, C, hd)
+        qc = jnp.moveaxis(qc, 2, 0)  # (nchunk, B, H, C, hd)
+
+        def body(q_blk):
+            s = jax.nn.softmax(q_blk @ kT * scale, -1)  # (B, H, C, N)
+            return s @ v
+
+        out = jax.lax.map(body, qc)  # (nchunk, B, H, C, hd)
+        out = jnp.moveaxis(out, 0, 2).reshape(B, heads, -1, hd)[:, :, :N]
+    else:
+        attn = jax.nn.softmax(q @ kT * scale, -1)
+        out = attn @ v  # (B, H, N, hd)
     out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
     out = out @ p["proj"]["w"] + p["proj"]["b"]
     if return_keys:
