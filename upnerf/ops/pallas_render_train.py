@@ -366,10 +366,6 @@ def _composite(sig_s, sig_c, z, st: RTStatic):
     return out
 
 
-def _unpack_refs(refs, names):
-    return {k: refs[i][:] for i, k in enumerate(names)}, refs[len(names):]
-
-
 # ---------------------------------------------------------------------------
 # forward kernel
 
@@ -572,9 +568,9 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     for g0 in range(0, Rt, G):
         r0, r1 = g0 * S, (g0 + G) * S
         M = G * S
-        trig = None
+        pe_cache = None
         if st.xyz_L:
-            x0, trig = _pe_forward(
+            x0, pe_cache = _pe_forward(
                 o_ref[g0:g0 + G, :], d_ref[g0:g0 + G, :], z[g0:g0 + G, :],
                 pw_row, st.xyz_L,
             )
@@ -671,7 +667,7 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
                 g = g_in
         if st.xyz_L:
             d_o_g, d_d_g = _pe_backward(
-                dx0, trig, z[g0:g0 + G, :], st.xyz_L
+                dx0, pe_cache, z[g0:g0 + G, :], st.xyz_L
             )
             do_ref[g0:g0 + G, :] = d_o_g
             dd_ref[g0:g0 + G, :] = d_d_g
