@@ -66,6 +66,19 @@ from jax.experimental.pallas import tpu as pltpu
 # Set True to run in the Pallas interpreter (CPU tests).
 INTERPRET = False
 
+# Storage dtype for the per-sample feat/cfeat/rgb scratch + residuals in
+# bfloat16 mode. bf16 storage halves VMEM/HBM traffic but rounds the
+# per-sample features the compositing VALUES and backward inner products
+# read; pose recovery is driven by exactly those feature gradients (see
+# docs/DESIGN.md "Pose-recovery regression hunt").
+STORE_F32 = True
+
+
+def _store_dtype(precision: str):
+    if precision == "bfloat16" and not STORE_F32:
+        return jnp.bfloat16
+    return jnp.float32
+
 LAST_DELTA = 1e2  # models/rendering.py:126-128
 
 HEAD_BASE = ("xyzf_w", "xyzf_b", "sigma_w", "sigma_b")
@@ -150,6 +163,34 @@ def _dot(a, b, compute_dtype):
         a, b, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+# bf16_3x trunk matmuls (hand-rolled hi/lo operand split; Mosaic rejects
+# Precision.HIGH). Measured in the r2 "pose-recovery regression hunt"
+# (docs/DESIGN.md): it tightens the se3 gradient against the f32 truth
+# (rel 0.028 vs 0.061 for the plain-bf16 XLA path) but costs 45.8k ->
+# 24.6k rays/s, and the suspected quality regression it targeted turned
+# out to be seed variance — so it stays OFF by default.
+TRUNK_3X = False
+
+
+def _trunk_dot(a, b, compute_dtype):
+    """Trunk matmul: one-pass bf16 like the heads, or bf16_3x
+    (a@b ~= ah@bh + ah@bl + al@bh; al@bl is below f32 rounding) when
+    TRUNK_3X is set."""
+    if compute_dtype == jnp.bfloat16 and TRUNK_3X:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        ah = a.astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return _dot(a, b, compute_dtype)
 
 
 def _tri(S: int, lower: bool) -> jnp.ndarray:
@@ -261,7 +302,7 @@ def _trunk_chain(x0, trunk, D, skips, cdt):
             h = jnp.concatenate([x0, h], axis=-1)
         inputs.append(h)
         w, b = trunk[i]
-        h = jnp.maximum(_dot(h, w, cdt) + b, 0.0)
+        h = jnp.maximum(_trunk_dot(h, w, cdt) + b, 0.0)
         acts.append(h)
     return inputs, acts
 
@@ -279,8 +320,9 @@ def _group_rows(st: RTStatic, S: int, in0: int, W: int, F: int = 0) -> int:
     the in/out blocks, scratch, and weight-grad accumulators, so the
     subgroup slice of the budget must stay small)."""
     bpe = 2 if st.precision == "bfloat16" else 4
+    spe = 2 if _store_dtype(st.precision) == jnp.bfloat16 else 4
     per_row = (st.D + 4) * W * bpe        # trunk chain + xyzf/walk temps
-    per_row += 3 * max(F, 1) * bpe        # feat/cfeat/g_f-width tensors
+    per_row += 3 * max(F, 1) * spe        # feat/cfeat/g_f-width tensors
     per_row += 4 * 128 * bpe              # lane-padded (M,1)/(M,3)/lane0
     # With the Mosaic VMEM cap raised to 64 MB (_compiler_params), bigger
     # subgroups buy larger matmul M-dims (better MXU utilization); the
@@ -403,7 +445,7 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
     assert not it, len(it)
 
     cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
-    sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+    sdt = _store_dtype(st.precision)
     Rt = st.ray_tile
     z = z_ref[:].astype(jnp.float32)
     pw_row = pw_ref[:].reshape(1, st.xyz_L) if st.xyz_L else None
@@ -655,9 +697,9 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         for i in reversed(range(st.D)):
             w, _ = trunk[i]
             g = g * (acts[i] > 0)
-            _acc(f"trunk{i}_w", _dot(inputs[i].T, g, cdt))
+            _acc(f"trunk{i}_w", _trunk_dot(inputs[i].T, g, cdt))
             _acc(f"trunk{i}_b", g.sum(axis=0))
-            g_in = _dot(g, w.T, cdt)
+            g_in = _trunk_dot(g, w.T, cdt)
             if i in st.skips and i > 0:
                 dx0 = dx0 + g_in[:, :in0]
                 g = g_in[:, in0:]
@@ -839,7 +881,7 @@ def _fwd_impl(front, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic,
     in0 = _front_in0(st, front, trunk)
     W = trunk[0][0].shape[1]
     G = _group_rows(st, S, in0, W, F)
-    sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+    sdt = _store_dtype(st.precision)
 
     in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
     out_shapes, out_specs = _out_meta(st, R, S, F)
@@ -893,7 +935,7 @@ def _bwd_impl(st: RTStatic, res, g):
     Rt = st.ray_tile
     F = heads["feat_w"].shape[1] if st.use_feat else 0
     G = _group_rows(st, S, in0, W, F)
-    sdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
+    sdt = _store_dtype(st.precision)
 
     in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
     # cotangent inputs, same layout as the outputs
@@ -1009,7 +1051,7 @@ def xla_render_train(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
     for i, (w, b) in enumerate(trunk):
         if i in st.skips and i > 0:
             h = jnp.concatenate([x0, h], axis=-1)
-        h = jnp.maximum(_dot(h, w, cdt) + b, 0.0)
+        h = jnp.maximum(_trunk_dot(h, w, cdt) + b, 0.0)
     sig_s = jax.nn.softplus(
         _dot(h, heads["sigma_w"], cdt) + heads["sigma_b"]
     ).reshape(R, S)
