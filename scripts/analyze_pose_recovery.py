@@ -60,9 +60,16 @@ def main(result_dir: str) -> None:
         bar = "#" * int(per_cam[c] / 2)
         print(f"  cam {c:2d}: {per_cam[c]:7.2f} {bar}")
     good = per_cam < 10
-    print(f"{good.sum()}/{n} cameras under 10 deg; "
-          f"mean over those pairs only: "
-          f"{R_deg[np.isin(iu, np.where(good)[0]) & np.isin(ju, np.where(good)[0])].mean():.2f} deg")
+    if good.sum() >= 2:
+        sel = np.isin(iu, np.where(good)[0]) & np.isin(ju, np.where(good)[0])
+        print(f"{good.sum()}/{n} cameras under 10 deg; "
+              f"mean over those pairs only: {R_deg[sel].mean():.2f} deg")
+    else:
+        # <2 good cameras -> no good-good pairs; an empty-selection mean
+        # would print nan with a RuntimeWarning for exactly the failed runs
+        # this summary is meant to diagnose.
+        print(f"{good.sum()}/{n} cameras under 10 deg; "
+              f"mean over those pairs only: n/a (<2 good cameras)")
 
 
 if __name__ == "__main__":

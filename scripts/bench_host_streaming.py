@@ -190,6 +190,15 @@ def run_tpu(store, batch_size: int, steps: int) -> None:
         for l in open(mfile)
         if "rays_per_sec" in l
     ]
+    # The first window absorbs the compiles; with --steps <= log_every the
+    # [1:] slice would be empty (nan median) — require enough steps instead.
+    if len(windows) < 2:
+        raise SystemExit(
+            f"only {len(windows)} throughput window(s) logged; run with "
+            f"--steps > 2x the 50-step log window for a steady-state number"
+        )
+    if waits.size == 0:
+        waits = np.array(pf.waits) if pf.waits else np.zeros(1)
     # occupancy: fraction of device requests served without blocking >1ms
     print(json.dumps({
         "mode": "tpu_streaming_train",

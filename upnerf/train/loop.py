@@ -441,5 +441,7 @@ class Trainer:
                     np.asarray(aligned)[:n], np.asarray(gt_parsed)[:n]
                 )
                 self.logger.log_image(step, "train/refine_pose", img)
-            except Exception:
-                pass
+            except Exception as e:  # viz must never kill training, but
+                import warnings  # a broken panel should be visible
+
+                warnings.warn(f"pose viz panel failed: {e!r}")
