@@ -66,16 +66,9 @@ from jax.experimental.pallas import tpu as pltpu
 # Set True to run in the Pallas interpreter (CPU tests).
 INTERPRET = False
 
-# Storage dtype for the per-sample feat/cfeat/rgb scratch + residuals in
-# bfloat16 mode. bf16 storage halves VMEM/HBM traffic but rounds the
-# per-sample features the compositing VALUES and backward inner products
-# read; pose recovery is driven by exactly those feature gradients (see
-# docs/DESIGN.md "Pose-recovery regression hunt").
-STORE_F32 = True
 
-
-def _store_dtype(precision: str):
-    if precision == "bfloat16" and not STORE_F32:
+def _store_dtype(st: "RTStatic"):
+    if st.precision == "bfloat16" and not st.store_f32:
         return jnp.bfloat16
     return jnp.float32
 
@@ -98,7 +91,20 @@ class RTStatic(NamedTuple):
     annealed positional encoding IN-KERNEL (fwd and bwd), so neither the
     (R*S, 3+6L) PE tensor nor its cotangent ever touch HBM; the backward
     emits (R, 3) d_origin/d_direction directly (the pose-gradient path).
-    xyz_L == 0 keeps the legacy x0 interface (pre-built PE input)."""
+    xyz_L == 0 keeps the legacy x0 interface (pre-built PE input).
+
+    store_f32: storage dtype for the per-sample feat/cfeat/rgb scratch +
+    residuals in bfloat16 mode. bf16 storage halves VMEM/HBM traffic but
+    rounds the per-sample features the compositing VALUES and backward
+    inner products read; pose recovery is driven by exactly those feature
+    gradients (see docs/DESIGN.md "Pose-recovery regression hunt").
+
+    trunk_3x: bf16_3x trunk matmuls (hand-rolled hi/lo operand split;
+    Mosaic rejects Precision.HIGH). Measured in the r2 regression hunt:
+    it tightens the se3 gradient against the f32 truth (rel 0.028 vs
+    0.061 plain-bf16) but costs 45.8k -> 24.6k rays/s, and the suspected
+    quality regression it targeted turned out to be seed variance — so it
+    stays OFF by default."""
 
     D: int
     skips: Tuple[int, ...]
@@ -108,6 +114,8 @@ class RTStatic(NamedTuple):
     precision: str = "float32"
     ray_tile: int = 8
     xyz_L: int = 0
+    store_f32: bool = True
+    trunk_3x: bool = False
 
     @property
     def use_feat(self) -> bool:
@@ -165,20 +173,11 @@ def _dot(a, b, compute_dtype):
     )
 
 
-# bf16_3x trunk matmuls (hand-rolled hi/lo operand split; Mosaic rejects
-# Precision.HIGH). Measured in the r2 "pose-recovery regression hunt"
-# (docs/DESIGN.md): it tightens the se3 gradient against the f32 truth
-# (rel 0.028 vs 0.061 for the plain-bf16 XLA path) but costs 45.8k ->
-# 24.6k rays/s, and the suspected quality regression it targeted turned
-# out to be seed variance — so it stays OFF by default.
-TRUNK_3X = False
-
-
-def _trunk_dot(a, b, compute_dtype):
+def _trunk_dot(a, b, compute_dtype, trunk_3x=False):
     """Trunk matmul: one-pass bf16 like the heads, or bf16_3x
     (a@b ~= ah@bh + ah@bl + al@bh; al@bl is below f32 rounding) when
-    TRUNK_3X is set."""
-    if compute_dtype == jnp.bfloat16 and TRUNK_3X:
+    RTStatic.trunk_3x is set."""
+    if compute_dtype == jnp.bfloat16 and trunk_3x:
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
         ah = a.astype(jnp.bfloat16)
@@ -294,7 +293,7 @@ def _pe_backward(dx0, pe_cache, z_g, L):
     return d_o, d_d
 
 
-def _trunk_chain(x0, trunk, D, skips, cdt):
+def _trunk_chain(x0, trunk, D, skips, cdt, trunk_3x=False):
     inputs, acts = [], []
     h = x0
     for i in range(D):
@@ -302,7 +301,7 @@ def _trunk_chain(x0, trunk, D, skips, cdt):
             h = jnp.concatenate([x0, h], axis=-1)
         inputs.append(h)
         w, b = trunk[i]
-        h = jnp.maximum(_trunk_dot(h, w, cdt) + b, 0.0)
+        h = jnp.maximum(_trunk_dot(h, w, cdt, trunk_3x) + b, 0.0)
         acts.append(h)
     return inputs, acts
 
@@ -320,7 +319,7 @@ def _group_rows(st: RTStatic, S: int, in0: int, W: int, F: int = 0) -> int:
     the in/out blocks, scratch, and weight-grad accumulators, so the
     subgroup slice of the budget must stay small)."""
     bpe = 2 if st.precision == "bfloat16" else 4
-    spe = 2 if _store_dtype(st.precision) == jnp.bfloat16 else 4
+    spe = 2 if _store_dtype(st) == jnp.bfloat16 else 4
     per_row = (st.D + 4) * W * bpe        # trunk chain + xyzf/walk temps
     per_row += 3 * max(F, 1) * spe        # feat/cfeat/g_f-width tensors
     per_row += 4 * 128 * bpe              # lane-padded (M,1)/(M,3)/lane0
@@ -445,7 +444,7 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
     assert not it, len(it)
 
     cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
-    sdt = _store_dtype(st.precision)
+    sdt = _store_dtype(st)
     Rt = st.ray_tile
     z = z_ref[:].astype(jnp.float32)
     pw_row = pw_ref[:].reshape(1, st.xyz_L) if st.xyz_L else None
@@ -461,7 +460,7 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
             x0 = x_ref[r0:r1, :]
         cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
-        _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
+        _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt, st.trunk_3x)
         o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G)
         scr["sig_s"][g0:g0 + G, :] = o["sigma"]
         if st.use_cand:
@@ -625,7 +624,7 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
             res_g["feat"] = feat_res[r0:r1, :]
         if rgb_res is not None:
             res_g["rgb"] = rgb_res[r0:r1, :]
-        inputs, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt)
+        inputs, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt, st.trunk_3x)
         h = acts[-1]
         o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G,
                       with_sigma=False, res=res_g)
@@ -697,9 +696,9 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         for i in reversed(range(st.D)):
             w, _ = trunk[i]
             g = g * (acts[i] > 0)
-            _acc(f"trunk{i}_w", _trunk_dot(inputs[i].T, g, cdt))
+            _acc(f"trunk{i}_w", _trunk_dot(inputs[i].T, g, cdt, st.trunk_3x))
             _acc(f"trunk{i}_b", g.sum(axis=0))
-            g_in = _trunk_dot(g, w.T, cdt)
+            g_in = _trunk_dot(g, w.T, cdt, st.trunk_3x)
             if i in st.skips and i > 0:
                 dx0 = dx0 + g_in[:, :in0]
                 g = g_in[:, in0:]
@@ -881,7 +880,7 @@ def _fwd_impl(front, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic,
     in0 = _front_in0(st, front, trunk)
     W = trunk[0][0].shape[1]
     G = _group_rows(st, S, in0, W, F)
-    sdt = _store_dtype(st.precision)
+    sdt = _store_dtype(st)
 
     in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
     out_shapes, out_specs = _out_meta(st, R, S, F)
@@ -935,7 +934,7 @@ def _bwd_impl(st: RTStatic, res, g):
     Rt = st.ray_tile
     F = heads["feat_w"].shape[1] if st.use_feat else 0
     G = _group_rows(st, S, in0, W, F)
-    sdt = _store_dtype(st.precision)
+    sdt = _store_dtype(st)
 
     in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
     # cotangent inputs, same layout as the outputs
@@ -1051,7 +1050,7 @@ def xla_render_train(x0, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic):
     for i, (w, b) in enumerate(trunk):
         if i in st.skips and i > 0:
             h = jnp.concatenate([x0, h], axis=-1)
-        h = jnp.maximum(_trunk_dot(h, w, cdt) + b, 0.0)
+        h = jnp.maximum(_trunk_dot(h, w, cdt, st.trunk_3x) + b, 0.0)
     sig_s = jax.nn.softplus(
         _dot(h, heads["sigma_w"], cdt) + heads["sigma_b"]
     ).reshape(R, S)
