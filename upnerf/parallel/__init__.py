@@ -1,3 +1,15 @@
-from .mesh import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
 
-__all__ = ["batch_sharding", "make_mesh", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -59,6 +59,11 @@ class RenderConfig(NamedTuple):
     # (2048 rays x 384 samples) fits a 16 GB v5e chip without remat and runs
     # ~1.25x faster that way (measured); enable for bigger batches/models.
     remat: bool = False
+    # Fused-kernel numerics knobs (part of the static config so they are
+    # visible to the jit / persistent-compile cache key — see
+    # ops.pallas_render_train.RTStatic for what each one trades).
+    store_f32: bool = True
+    trunk_3x: bool = False
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "RenderConfig":
@@ -72,6 +77,8 @@ class RenderConfig(NamedTuple):
             remat=hp.get("tpu.remat", False),
             fused_render=_auto_fused(hp.get("tpu.fused_render")),
             fused_train=_auto_fused(hp.get("tpu.fused_train")),
+            store_f32=hp.get("tpu.store_f32", True),
+            trunk_3x=hp.get("tpu.trunk_3x", False),
         )
 
 
@@ -90,10 +97,7 @@ def _inference(
     sched_mult: jnp.ndarray,
     progress: jnp.ndarray,
     encode_candidate: bool,
-    precision: str,
-    remat: bool = False,
-    fused_render: bool = False,
-    fused_train: bool = False,
+    rcfg: "RenderConfig",
     det: bool = False,
     rays_o: Optional[jnp.ndarray] = None,  # (R, 3), fused_train path only
 ) -> None:
@@ -102,6 +106,7 @@ def _inference(
     Mutates `results` with keys suffixed by `typ` ('coarse' | 'fine').
     """
     R, S = z_vals.shape
+    precision, remat = rcfg.precision, rcfg.remat
     use_candidate = nerf_cfg.encode_candidate and encode_candidate and phase < 2
     # The mega-kernel pays for itself on FORWARD-ONLY renders (val / TTO
     # eval / video): its VJP replays the XLA graph, so a training step
@@ -113,7 +118,7 @@ def _inference(
         and not use_candidate
         and nerf_cfg.encode_feat
         and nerf_cfg.encode_appearance
-        and fused_render
+        and rcfg.fused_render
         and R % 8 == 0
     ):
         _fused_static_path(
@@ -126,12 +131,12 @@ def _inference(
     # Pallas kernels (upnerf.ops.pallas_render_train) — per-sample tensors
     # never reach HBM (the round-1 step spent ~1/3 of its time on their
     # traffic, docs/ROADMAP.md).
-    if fused_train and nerf_cfg.encode_feat and R % 8 == 0:
+    if rcfg.fused_train and nerf_cfg.encode_feat and R % 8 == 0:
         assert rays_o is not None
         _fused_train_path(
             results, nerf_params, nerf_cfg, typ, rays_o, z_vals, rays_d,
             a_emb, c_emb, phase=phase, progress=progress,
-            precision=precision, use_candidate=use_candidate,
+            rcfg=rcfg, use_candidate=use_candidate,
         )
         return
 
@@ -216,7 +221,7 @@ def _inference(
 
 def _fused_train_path(
     results, nerf_params, nerf_cfg, typ, rays_o, z_vals, rays_d, a_emb, c_emb,
-    *, phase, progress, precision, use_candidate,
+    *, phase, progress, rcfg, use_candidate,
 ) -> None:
     """All-phase render through the fused training kernel
     (upnerf.ops.pallas_render_train): trunk + sigma/feat/candidate/rgb heads
@@ -287,8 +292,9 @@ def _fused_train_path(
     trunk = tuple((p["w"], p["b"]) for p in nerf_params["trunk"])
     st = RTStatic(
         D=nerf_cfg.D, skips=tuple(nerf_cfg.skips), use_cand=use_candidate,
-        use_rgb=use_rgb, out_feat=out_feat, precision=precision,
-        xyz_L=nerf_cfg.xyz_L,
+        use_rgb=use_rgb, out_feat=out_feat, precision=rcfg.precision,
+        xyz_L=nerf_cfg.xyz_L, store_f32=rcfg.store_f32,
+        trunk_3x=rcfg.trunk_3x,
     )
     out = fused_render_train_rays(
         rays_o, rays_d, z_vals, w_xyz, ray_cond,
@@ -378,6 +384,7 @@ def render_rays(
     progress: jnp.ndarray,
     encode_candidate: bool = True,
     det: bool = False,
+    noise: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ray batch (models/rendering.py:53-314).
 
@@ -385,18 +392,23 @@ def render_rays(
     "fine_a", "coarse_c", "fine_c"}} — embeddings are (N_images, dim) tables
     gathered by img_idx (models/rendering.py:256-258, 309-312).
     det=True gives the deterministic eval path (no perturb, linspace CDF
-    samples).
+    samples). `noise` optionally supplies the pre-drawn uniforms
+    {"coarse": (R, N_samples), "fine": (R, N_importance)} in place of
+    `key`; the shard_map train step draws them ONCE at global batch shape
+    and shards them along rays, so the per-ray randomness of a sharded
+    step is bit-identical to the single-device step.
     """
     R = rays.shape[0]
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     emb = params["embeddings"]
 
-    if key is None:
+    if key is None and noise is None:
         det = True
     k_coarse, k_fine = (
         jax.random.split(key) if key is not None else (None, None)
     )
+    noise = noise or {}
 
     z_vals = stratified_z_vals(
         k_coarse,
@@ -405,6 +417,7 @@ def render_rays(
         cfg.N_samples,
         use_disp=cfg.use_disp,
         perturb=0.0 if det else cfg.perturb,
+        u=noise.get("coarse"),
     )
     # z has no trainable ancestry anywhere in the training path (coarse z
     # comes from the scene near/far constants; fine z passes through
@@ -437,10 +450,7 @@ def render_rays(
         sched_mult=sched_mult,
         progress=progress,
         encode_candidate=encode_candidate,
-        precision=cfg.precision,
-        remat=cfg.remat,
-        fused_render=cfg.fused_render,
-        fused_train=cfg.fused_train,
+        rcfg=cfg,
         det=det,
         rays_o=rays_o,
     )
@@ -464,6 +474,7 @@ def render_rays(
             jax.lax.stop_gradient(w_src[:, 1:-1]),
             cfg.N_importance,
             det=det,
+            u=noise.get("fine"),
         )
         z_fine = jax.lax.stop_gradient(volume.merge_sorted_z(z_vals, z_samples))
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_fine[..., None]
@@ -481,10 +492,7 @@ def render_rays(
             sched_mult=sched_mult,
             progress=progress,
             encode_candidate=encode_candidate,
-            precision=cfg.precision,
-            remat=cfg.remat,
-            fused_render=cfg.fused_render,
-            fused_train=cfg.fused_train,
+            rcfg=cfg,
             det=det,
             rays_o=rays_o,
         )

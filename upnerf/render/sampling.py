@@ -25,12 +25,15 @@ def stratified_z_vals(
     N_samples: int,
     use_disp: bool = False,
     perturb: float = 0.0,
+    u: Optional[jnp.ndarray] = None,  # (N_rays, N_samples) pre-drawn U(0,1)
 ) -> jnp.ndarray:
     """Coarse depth samples, (N_rays, N_samples) (models/rendering.py:232-249).
 
     Linear in depth (or disparity), optionally jittered uniformly within
     mid-point intervals. `key=None` or `perturb=0` gives the deterministic
-    grid (golden-test path).
+    grid (golden-test path). Pre-drawn uniforms `u` take precedence over
+    `key` — the shard_map train path draws noise once at global batch shape
+    so a sharded step is numerically identical to the single-device step.
     """
     z_steps = jnp.linspace(0.0, 1.0, N_samples)  # (S,)
     if not use_disp:
@@ -40,12 +43,13 @@ def stratified_z_vals(
     N_rays = near.shape[0]
     z_vals = jnp.broadcast_to(z_vals, (N_rays, N_samples))
 
-    if perturb > 0 and key is not None:
+    if perturb > 0 and (key is not None or u is not None):
         z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
         upper = jnp.concatenate([z_mid, z_vals[:, -1:]], -1)
         lower = jnp.concatenate([z_vals[:, :1], z_mid], -1)
-        u = perturb * jax.random.uniform(key, z_vals.shape)
-        z_vals = lower + (upper - lower) * u
+        if u is None:
+            u = jax.random.uniform(key, z_vals.shape)
+        z_vals = lower + (upper - lower) * (perturb * u)
     return z_vals
 
 
@@ -56,12 +60,14 @@ def sample_pdf(
     N_importance: int,
     det: bool = False,
     eps: float = 1e-5,
+    u: Optional[jnp.ndarray] = None,  # (N_rays, N_importance) pre-drawn
 ) -> jnp.ndarray:
     """Inverse-CDF sampling (models/rendering.py:7-50).
 
     Weights are detached by the caller; the +eps floor and the denom == 0
     guard match models/rendering.py:20,42-45. det=True uses a linspace grid
-    (eval path); otherwise uniform draws from `key`.
+    (eval path); otherwise uniform draws from `key` (or the pre-drawn `u`,
+    which the shard_map train path shards from a global-batch draw).
     """
     N_rays, M = weights.shape
     weights = weights + eps
@@ -69,11 +75,11 @@ def sample_pdf(
     cdf = jnp.cumsum(pdf, -1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], -1)  # (N_rays, M+1)
 
-    if det or key is None:
+    if det or (key is None and u is None):
         u = jnp.broadcast_to(
             jnp.linspace(0.0, 1.0, N_importance), (N_rays, N_importance)
         )
-    else:
+    elif u is None:
         u = jax.random.uniform(key, (N_rays, N_importance))
 
     # Branchless CDF inversion. searchsorted + take_along_axis lower to

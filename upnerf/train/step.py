@@ -141,6 +141,7 @@ def forward(
     sched_mult: jnp.ndarray,
     progress: jnp.ndarray,
     det: bool = False,
+    noise: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], Optional[jnp.ndarray]]:
     """Render + transient composite (models/nerf_system.py:93-148).
 
@@ -164,6 +165,7 @@ def forward(
         sched_mult=sched_mult,
         progress=progress,
         det=det,
+        noise=noise,
     )
 
     if phase > 0 and cfg.transient is not None and feats is not None:
@@ -199,14 +201,19 @@ def _loss_and_metrics(
     cfg: StepConfig,
     scene: SceneConstants,
     batch: Dict[str, jnp.ndarray],
-    key: Optional[jax.Array],
+    noise: Dict[str, jnp.ndarray],
     phase: int,
     sched_mult: jnp.ndarray,
     progress: jnp.ndarray,
 ):
+    """Per-(sub)batch loss + RAW metrics. Every metric is a mean over the
+    batch axis, so under shard_map a pmean of this dict equals the
+    global-batch value; derived metrics (psnr) are computed AFTER the
+    reduction in `_update` (mse=1 in phase 0 makes psnr come out 0, the
+    reference's placeholder)."""
     results, _, feats = forward(
-        params, pose_params, cfg, scene, batch, key,
-        phase=phase, sched_mult=sched_mult, progress=progress,
+        params, pose_params, cfg, scene, batch, None,
+        phase=phase, sched_mult=sched_mult, progress=progress, noise=noise,
     )
     pred_depths = depth_prior(pose_params, batch, cfg.near, cfg.far)
     loss_d = compute_loss(
@@ -218,10 +225,9 @@ def _loss_and_metrics(
     metrics["loss"] = loss
     typ = "fine" if cfg.loss.fine else "coarse"
     if phase > 0:
-        mse = ((results[f"s_rgb_{typ}"] - batch["rgb"]) ** 2).mean()
-        metrics["psnr"] = -10.0 * jnp.log10(mse)
+        metrics["mse"] = ((results[f"s_rgb_{typ}"] - batch["rgb"]) ** 2).mean()
     else:
-        metrics["psnr"] = jnp.zeros(())
+        metrics["mse"] = jnp.ones(())
     return loss, metrics
 
 
@@ -241,14 +247,23 @@ def make_train_step(
     deviation).
 
     With ``mesh``, the device-resident path shards the gathered ray batch
-    across the mesh's data axis (the state/store stay replicated): each
-    device renders only its shard and XLA inserts the gradient all-reduce —
-    DDP semantics (train.py:70-72) without host involvement. Without it,
-    every device would redo identical work on the replicated batch."""
+    across the mesh's data axis (the state/store stay replicated) and the
+    loss+grad computation runs under ``jax.shard_map``: each device renders
+    only its shard through whatever render path the config selects —
+    INCLUDING the fused Pallas kernels, which have no GSPMD partitioning
+    rule and would otherwise be replicated or rejected by the partitioner —
+    and the gradients/metrics are combined with an explicit ``psum``-mean.
+    DDP semantics (train.py:70-72) without host involvement. Per-ray
+    randomness is drawn ONCE at global batch shape and sharded, so the
+    sharded step is numerically identical to the single-device step (up to
+    reduction order). Without ``mesh``, every device would redo identical
+    work on the replicated batch."""
     if mesh is not None:
-        from upnerf.parallel import batch_sharding
+        from upnerf.parallel import DATA_AXIS, batch_sharding
 
         _bsh = batch_sharding(mesh)
+        n_dev = mesh.devices.size
+        assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
 
     def _keys(state):
         """Wrap the checkpointed raw key data and derive this step's keys.
@@ -256,6 +271,21 @@ def make_train_step(
         key = jax.random.wrap_key_data(state.rng, impl=cfg.prng_impl)
         k_carry, k_sample, k_render = jax.random.split(key, 3)
         return k_sample, k_render, jax.random.key_data(k_carry)
+
+    def _draw_noise(key, n_rays: int) -> Dict[str, jnp.ndarray]:
+        """Per-ray render uniforms at GLOBAL batch shape (sharded along
+        rays under a mesh — see class docstring)."""
+        kc, kf = jax.random.split(key)
+        noise = {}
+        if cfg.render.perturb > 0:
+            noise["coarse"] = jax.random.uniform(
+                kc, (n_rays, cfg.render.N_samples)
+            )
+        if cfg.render.N_importance > 0:
+            noise["fine"] = jax.random.uniform(
+                kf, (n_rays, cfg.render.N_importance)
+            )
+        return noise
 
     def step_fn(
         state: TrainState,
@@ -272,11 +302,15 @@ def make_train_step(
                 idx, _bsh
             )  # each device gathers only its shard of the batch
         batch = gather_batch(store, idx)
+        noise = _draw_noise(k_render, cfg.batch_size)
         if mesh is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, jax.tree.map(lambda _: _bsh, batch)
             )
-        return _update(state, scene, batch, k_render, next_raw, phase)
+            noise = jax.lax.with_sharding_constraint(
+                noise, jax.tree.map(lambda _: _bsh, noise)
+            )
+        return _update(state, scene, batch, noise, next_raw, phase)
 
     def batch_step_fn(
         state: TrainState,
@@ -285,20 +319,53 @@ def make_train_step(
         phase: int,
     ):
         _, k_render, next_raw = _keys(state)
-        return _update(state, scene, batch, k_render, next_raw, phase)
+        noise = _draw_noise(k_render, batch["px"].shape[0])
+        return _update(state, scene, batch, noise, next_raw, phase)
 
-    def _update(state, scene, batch, key, next_raw, phase):
-        progress = state.step.astype(jnp.float32) / cfg.max_steps
-        sched = schedule_mult(progress, cfg.candidate_schedule)
-
+    def _grads_and_metrics(params, pose_params, scene, batch, noise,
+                           sched, progress, phase):
         grad_fn = jax.value_and_grad(
             lambda p, pp: _loss_and_metrics(
-                p, pp, cfg, scene, batch, key, phase, sched, progress
+                p, pp, cfg, scene, batch, noise, phase, sched, progress
             ),
             argnums=(0, 1),
             has_aux=True,
         )
-        (_, metrics), (grads, pose_grads) = grad_fn(state.params, state.pose_params)
+        (_, metrics), (grads, pose_grads) = grad_fn(params, pose_params)
+        return grads, pose_grads, metrics
+
+    def _update(state, scene, batch, noise, next_raw, phase):
+        progress = state.step.astype(jnp.float32) / cfg.max_steps
+        sched = schedule_mult(progress, cfg.candidate_schedule)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            def per_shard(params, pose_params, scene, batch, noise,
+                          sched, progress):
+                out = _grads_and_metrics(
+                    params, pose_params, scene, batch, noise,
+                    sched, progress, phase,
+                )
+                # Every loss/metric is a mean over the (equal-sized) local
+                # shards, so pmean == the global-batch value and the pmean'd
+                # grads equal the global-loss grads.
+                return jax.lax.pmean(out, DATA_AXIS)
+
+            grads, pose_grads, metrics = jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+                out_specs=P(),
+                check_vma=False,  # pallas_call has no vma rule
+            )(state.params, state.pose_params, scene, batch, noise,
+              sched, progress)
+        else:
+            grads, pose_grads, metrics = _grads_and_metrics(
+                state.params, state.pose_params, scene, batch, noise,
+                sched, progress, phase,
+            )
+        metrics["psnr"] = -10.0 * jnp.log10(metrics.pop("mse"))
 
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
