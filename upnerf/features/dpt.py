@@ -57,9 +57,33 @@ def conv2d_transpose(x, w, b=None, stride=2):
     return y if b is None else y + b
 
 
+def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """1-D linear-interpolation matrix with ALIGN_CORNERS=TRUE semantics
+    (src = i * (n_in - 1) / (n_out - 1)) — what DPT's F.interpolate uses
+    throughout (FeatureFusionBlock_custom / Interpolate,
+    preprocess/save_dpt_depth.py pipeline). jax.image.resize implements
+    half-pixel centers (align_corners=False), which shifts every fused map
+    by up to half an input pixel; the dense matrix form is exact AND lowers
+    to one MXU matmul per axis (shapes are static, the matrix constant-
+    folds)."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1))
+    src = jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 2)
+    w1 = src - i0
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in))
+    m = m.at[rows, i0].add(1.0 - w1)
+    m = m.at[rows, i0 + 1].add(w1)
+    return m
+
+
 def _upsample2(x):
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
+    my = _interp_matrix(h, 2 * h)
+    mx = _interp_matrix(w, 2 * w)
+    x = jnp.einsum("oh,nhwc->nowc", my, x)
+    return jnp.einsum("pw,nowc->nopc", mx, x)
 
 
 def _residual_conv_unit(x, p):
@@ -91,11 +115,24 @@ def dpt_forward(
         params["backbone"], cfg, img, stride=cfg.patch_size,
         out_layers=hooks,
     )
-    gh, gw = bb["grid"]
+    return dpt_neck(params, bb["layers"], bb["grid"], hooks)
+
+
+def dpt_neck(
+    params: Dict,
+    layers: Dict[int, jnp.ndarray],
+    grid,
+    hooks=DPT_HOOKS,
+) -> jnp.ndarray:
+    """Readout-project + reassemble + RefineNet fusion + monodepth head
+    (everything after the ViT backbone; preprocess/save_dpt_depth.py DPT
+    pipeline). Split out so the torch-twin parity test can drive it on
+    transplanted hook tokens (tests/test_dpt_torch_twin.py)."""
+    gh, gw = grid
 
     pyramid = []
     for k, hook in enumerate(hooks):
-        tokens = bb["layers"][hook]  # (1, 1+N, D)
+        tokens = layers[hook]  # (1, 1+N, D)
         cls = tokens[:, :1]
         patches = tokens[:, 1:]
         # 'project' readout: concat CLS to every token, linear + GELU
@@ -113,8 +150,15 @@ def dpt_forward(
             fmap = conv2d_transpose(fmap, p["resample"]["w"], p["resample"]["b"], 4)
         elif k == 1:  # 1/8: x2 transposed conv
             fmap = conv2d_transpose(fmap, p["resample"]["w"], p["resample"]["b"], 2)
-        elif k == 3:  # 1/32: stride-2 conv
-            fmap = conv2d(fmap, p["resample"]["w"], p["resample"]["b"], stride=2)
+        elif k == 3:  # 1/32: stride-2 conv. Explicit symmetric (1,1) pads:
+            # torch Conv2d(3x3, stride=2, padding=1) pads BOTH sides, while
+            # XLA "SAME" at stride 2 on an even input pads only the high
+            # side — the windows land one pixel apart (caught by the
+            # torch-twin test).
+            fmap = conv2d(
+                fmap, p["resample"]["w"], p["resample"]["b"], stride=2,
+                padding=((1, 1), (1, 1)),
+            )
         fmap = conv2d(fmap, params[f"layer_rn{k}"]["w"], None)  # 3x3 -> 256
         pyramid.append(fmap)
 
