@@ -1,0 +1,155 @@
+"""Plumbing dry-run for the turnkey real-data runbook (VERDICT r2 next #6).
+
+scripts/run_brandenburg_e2e.sh is the one-command download -> convert ->
+preprocess -> cache -> train -> tto -> eval workflow for a networked TPU
+host (matching /root/reference/README.md end-to-end). This environment has
+no network, so the test pre-satisfies every network stage (synthetic scene
+in the Phototourism layout, placeholder weight npz files), runs the script
+with DRY_RUN=1, and asserts (a) the network stages are correctly skipped,
+(b) every compute stage is emitted in order, and (c) every emitted python
+command parses against the real CLI parsers with artifact paths that
+connect stage to stage.
+"""
+
+import argparse
+import os
+import re
+import subprocess
+
+import pytest
+
+from upnerf.config import parse_cli
+from upnerf.data import synthetic
+
+SCENE = "synth_pt"
+EXP = "plumb"
+
+SCENE_YAML = """\
+dataset_name: 'phototourism'
+scene_name: 'synth_pt'
+root_dir: 'data/phototourism/synth_pt'
+feat_dir: 'data/phototourism/synth_pt/DINO'
+depth_dir: 'data/phototourism/synth_pt/DPT'
+debug: True
+phototourism:
+  img_downscale: 1
+nerf:
+  N_samples: 8
+  N_importance: 8
+  feat_dim: 8
+  D: 2
+  W: 32
+  skips: []
+t_net:
+  feat_dim: 8
+train:
+  batch_size: 64
+"""
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wd = tmp_path_factory.mktemp("runbook")
+    for name in ("upnerf", "scripts", "tsv"):
+        os.symlink(os.path.join(repo, name), str(wd / name))
+    (wd / "configs").mkdir()
+    (wd / "configs" / f"{SCENE}.yaml").write_text(SCENE_YAML)
+
+    scene_dir = wd / "data" / "phototourism" / SCENE
+    synthetic.generate_scene(
+        str(scene_dir), n_train=3, n_test=1, H=16, W=16, feat_hw=4,
+        feat_dim=8, focal=16.0, phototourism_layout=True,
+    )
+    # pre-satisfied "converted weights" (existence-checked by the script;
+    # DINO/DPT preprocessing itself is skipped because the synthetic scene
+    # ships its feature/depth maps). No lpips npz: the script must degrade
+    # gracefully when its conversion fails (no `lpips` package here).
+    assets = wd / "assets" / "weights"
+    assets.mkdir(parents=True)
+    (assets / "dino_vits8.npz").write_bytes(b"placeholder")
+    (assets / "dpt_large.npz").write_bytes(b"placeholder")
+    return wd
+
+
+@pytest.fixture(scope="module")
+def dry_run_output(workdir):
+    env = dict(os.environ)
+    env.update(SCENE=SCENE, EXP=EXP, MAX_STEPS="8", DRY_RUN="1")
+    proc = subprocess.run(
+        ["sh", "scripts/run_brandenburg_e2e.sh"],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    return proc.stdout
+
+
+def _commands(text):
+    """The '=== [HH:MM:SS] cmd ...' stage lines, in order."""
+    return [
+        re.sub(r"^=== \[\d\d:\d\d:\d\d\] ", "", line)
+        for line in text.splitlines()
+        if line.startswith("=== [")
+    ]
+
+
+def test_network_stages_skipped_and_order(dry_run_output):
+    cmds = _commands(dry_run_output)
+    joined = "\n".join(cmds)
+    # pre-satisfied network artifacts -> no downloads attempted
+    assert "wget" not in joined
+    assert "download_phototourism" not in joined
+    assert "preprocess_all" not in joined  # DINO/DPT maps already present
+    # compute stages present, in pipeline order (lpips convert is attempted
+    # — its output didn't exist — then train/tto/eval)
+    markers = [
+        "convert_weights lpips",
+        "upnerf.cli.prepare_cache",
+        "upnerf.cli.train",
+        "upnerf.cli.tto",
+        "upnerf.cli.eval",
+    ]
+    pos = [joined.find(m) for m in markers]
+    assert all(p >= 0 for p in pos), (markers, joined)
+    assert pos == sorted(pos), "stages out of order:\n" + joined
+
+
+def test_emitted_commands_parse_and_paths_connect(
+    workdir, dry_run_output, monkeypatch
+):
+    monkeypatch.chdir(str(workdir))  # config paths are repo-relative
+    cmds = _commands(dry_run_output)
+
+    def find(fragment):
+        matches = [c for c in cmds if fragment in c]
+        assert matches, (fragment, cmds)
+        return matches[0].split()
+
+    # prepare_cache + train: --config resolves through the real config
+    # loader with the remainder opts, and the data root exists
+    cache_cmd = find("upnerf.cli.prepare_cache")
+    train_cmd = find("upnerf.cli.train")
+    for cmd in (cache_cmd, train_cmd):
+        argv = cmd[cmd.index("--config"):]
+        parser = argparse.ArgumentParser()
+        parser.add_argument("--config", required=True)
+        parser.add_argument("opts", nargs=argparse.REMAINDER)
+        hp = parse_cli(parser, argv)
+        assert os.path.isdir(hp["root_dir"]), hp["root_dir"]
+        assert os.path.isdir(hp["feat_dir"])
+        assert os.path.isdir(hp["depth_dir"])
+    assert hp["max_steps"] == 8
+    assert hp["exp_name"] == EXP
+    assert hp["phototourism.use_cache"] is True
+
+    # tto/eval point at exactly the run dir train will produce
+    run_dir = os.path.normpath(
+        os.path.join(hp.get("out_dir", "outputs"), SCENE, EXP)
+    )
+    tto_cmd = find("upnerf.cli.tto")
+    eval_cmd = find("upnerf.cli.eval")
+    assert os.path.normpath(tto_cmd[tto_cmd.index("--result_dir") + 1]) == run_dir
+    assert os.path.normpath(eval_cmd[eval_cmd.index("--result_dir") + 1]) == run_dir
+    # both consume the checkpoint name train's ModelCheckpoint writes
+    assert tto_cmd[tto_cmd.index("--ckpt") + 1] == "last"
