@@ -1,0 +1,161 @@
+"""Seed-protocoled pose-recovery benchmarks (VERDICT r2 next #5).
+
+The repo's pose-recovery claims (perturbation recovery on the textured
+16-view ring; identity-init recovery on the 32-view 90-degree arc) were
+previously argued from 1-2 runs per configuration. This script runs each
+recipe across >=3 training seeds and reports median/min/max of the final
+gauge-free pose errors, so every DESIGN.md claim can be (re)stated from a
+distribution instead of a point sample. Judge convergence ONLY by
+train/pose_R_rel / pose_t_rel (the Procrustes numbers are
+reflection-bistable on camera rings — docs/DESIGN.md "Pose metric audit").
+
+Runs serially on the TPU (never run two TPU jobs concurrently — CLAUDE.md).
+
+Usage (from the repo root):
+  python scripts/pose_protocol.py --recipe pose --steps 15000
+  python scripts/pose_protocol.py --recipe identity --steps 60000
+  # options: --seeds 42,777,1234   --tag mylabel
+
+Writes outputs_validation/pose_protocol_<recipe><tag>.json and prints a
+summary table.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RECIPES = {
+    # CLAUDE.md protocol: synth_pose + pose.noise 0.15 + >=15k steps on a
+    # feat_hw=32 scene (expect rel-R ~17 deg -> 1-4 deg; the final
+    # fine-alignment is basin/seed-dependent below ~5 deg).
+    "pose": {
+        "config": "configs/validation/synth_pose.yaml",
+        "scene_dir": "outputs_validation/scene_pose32",
+        "scene_kwargs": dict(
+            n_train=16, n_test=2, H=64, W=80, feat_hw=32, feat_dim=32,
+            focal=80.0, arc=0.5,
+        ),
+        "overrides": {"pose.noise": 0.15},
+        "default_steps": 15000,
+    },
+    # DESIGN.md "Identity-init pose recovery": 32-view 90-degree arc,
+    # world-anchored features, identity pose init (expect 29.1 -> ~9.5 deg
+    # at 128x160; the plateau claim is what the seed spread qualifies).
+    "identity": {
+        "config": "configs/validation/synth_identity.yaml",
+        "scene_dir": "outputs_validation/scene_identity",
+        "scene_kwargs": dict(
+            n_train=32, n_test=2, H=128, W=160, feat_hw=32, feat_dim=32,
+            focal=160.0, arc=0.25, feature_mode="world",
+        ),
+        "overrides": {},
+        "default_steps": 60000,
+    },
+}
+
+
+def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
+    """One training run; returns {seed, init/final rel-R (deg) and rel-t}."""
+    import numpy as np
+
+    from upnerf.cli.train import main as train_main
+    from upnerf.config import default, merge_from_file
+
+    hp = default()
+    merge_from_file(hp, recipe["config"])
+    scene = recipe["scene_dir"]
+    exp = f"protocol{tag}_seed{seed}"
+    hp.update(recipe["overrides"])
+    hp.update({
+        "seed": seed,
+        "exp_name": exp,
+        "max_steps": steps,
+        "root_dir": scene,
+        "feat_dir": os.path.join(scene, "DINO"),
+        "depth_dir": os.path.join(scene, "DPT"),
+        # pose logging is the measurement; keep everything else cheap
+        "train.log_pose_interval": max(500, steps // 30),
+        "val.log_interval": 10**9,
+        "train.ckpt_interval": steps,
+    })
+    np.random.seed(seed)
+    train_main(hp)
+
+    mfile = os.path.join(hp["out_dir"], hp["scene_name"], exp, "metrics.jsonl")
+    rows = [json.loads(l) for l in open(mfile) if "pose_R_rel" in l]
+    assert rows, f"no pose logs in {mfile}"
+    first, last = rows[0], rows[-1]
+    return {
+        "seed": seed,
+        "exp": exp,
+        "init_rel_R_deg": round(first["train/pose_R_rel"], 2),
+        "init_rel_t": round(first["train/pose_t_rel"], 3),
+        "final_rel_R_deg": round(last["train/pose_R_rel"], 2),
+        "final_rel_t": round(last["train/pose_t_rel"], 3),
+        "min_rel_R_deg": round(
+            min(r["train/pose_R_rel"] for r in rows), 2
+        ),
+        "steps": steps,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", choices=sorted(RECIPES), required=True)
+    ap.add_argument("--seeds", default="42,777,1234")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--tag", default="")
+    args = ap.parse_args()
+
+    recipe = RECIPES[args.recipe]
+    seeds = [int(s) for s in args.seeds.split(",")]
+    assert len(seeds) >= 3, "protocol requires >=3 seeds"
+    steps = args.steps or recipe["default_steps"]
+
+    if not os.path.isdir(recipe["scene_dir"]):
+        from upnerf.data import synthetic
+
+        print(f"[protocol] generating scene {recipe['scene_dir']}")
+        synthetic.generate_scene(recipe["scene_dir"], **recipe["scene_kwargs"])
+
+    results = []
+    for seed in seeds:
+        print(f"[protocol] {args.recipe} seed {seed} ({steps} steps)...")
+        results.append(run_one(recipe, seed, steps, args.tag))
+        print(f"[protocol]   -> {results[-1]}")
+
+    import numpy as np
+
+    finals = np.array([r["final_rel_R_deg"] for r in results])
+    finals_t = np.array([r["final_rel_t"] for r in results])
+    summary = {
+        "recipe": args.recipe,
+        "steps": steps,
+        "seeds": seeds,
+        "final_rel_R_deg": {
+            "median": round(float(np.median(finals)), 2),
+            "min": round(float(finals.min()), 2),
+            "max": round(float(finals.max()), 2),
+        },
+        "final_rel_t": {
+            "median": round(float(np.median(finals_t)), 3),
+            "min": round(float(finals_t.min()), 3),
+            "max": round(float(finals_t.max()), 3),
+        },
+        "runs": results,
+    }
+    out = os.path.join(
+        "outputs_validation", f"pose_protocol_{args.recipe}{args.tag}.json"
+    )
+    os.makedirs("outputs_validation", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["final_rel_R_deg"]))
+    print(f"[protocol] wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
