@@ -21,10 +21,11 @@ SKIPS = (1,)
 R, S = 16, 12
 
 
-def make_static(use_cand, use_rgb, out_feat):
+def make_static(use_cand, use_rgb, out_feat, save_chain=False):
     return rt.RTStatic(
         D=D, skips=SKIPS, use_cand=use_cand, use_rgb=use_rgb,
         out_feat=out_feat, precision="float32", ray_tile=8,
+        save_chain=save_chain,
     )
 
 
@@ -88,10 +89,12 @@ class TestForwardParity:
             )
 
 
+@pytest.mark.parametrize("save_chain", [False, True])
 @pytest.mark.parametrize("use_cand,use_rgb,out_feat", COMBOS)
 class TestVJPParity:
-    def test_grads_match_xla_twin(self, use_cand, use_rgb, out_feat):
-        st = make_static(use_cand, use_rgb, out_feat)
+    def test_grads_match_xla_twin(self, use_cand, use_rgb, out_feat,
+                                  save_chain):
+        st = make_static(use_cand, use_rgb, out_feat, save_chain)
         x0, z, ray_cond, c_emb, trunk, heads = make_args(st)
         rng = np.random.RandomState(7)
         ref = rt.xla_render_train(x0, z, ray_cond, c_emb, trunk, heads, st)
@@ -123,11 +126,12 @@ class TestVJPParity:
                 rtol=5e-4, atol=5e-5,
             )
 
-    def test_rays_frontend_matches_twin(self, use_cand, use_rgb, out_feat):
+    def test_rays_frontend_matches_twin(self, use_cand, use_rgb, out_feat,
+                                        save_chain):
         """xyz + annealed PE built IN-KERNEL (st.xyz_L > 0): forward and
         the d_rays_o / d_rays_d pose-gradient path vs the XLA twin."""
         L = 3
-        st = make_static(use_cand, use_rgb, out_feat)._replace(xyz_L=L)
+        st = make_static(use_cand, use_rgb, out_feat, save_chain)._replace(xyz_L=L)
         # trunk input width must be 3 + 6L
         rng = np.random.RandomState(11)
 
@@ -181,10 +185,11 @@ class TestVJPParity:
                 rtol=5e-4, atol=5e-5,
             )
 
-    def test_live_cotangents_only(self, use_cand, use_rgb, out_feat):
+    def test_live_cotangents_only(self, use_cand, use_rgb, out_feat,
+                                  save_chain):
         """The training loss only touches feat/rgb/depth — exercise exactly
         that cotangent structure (zeros elsewhere arrive materialized)."""
-        st = make_static(use_cand, use_rgb, out_feat)
+        st = make_static(use_cand, use_rgb, out_feat, save_chain)
         x0, z, ray_cond, c_emb, trunk, heads = make_args(st, seed=3)
         live = [k for k in ("feat_map", "rgb_map", "s_depth") if k in st.out_keys]
 

@@ -116,6 +116,18 @@ class RTStatic(NamedTuple):
     xyz_L: int = 0
     store_f32: bool = True
     trunk_3x: bool = False
+    # VMEM budget (MB) for one ray-subgroup's stored walk chain; sets the
+    # subgroup size G in _group_rows and therefore the matmul M-dim.
+    group_budget_mb: int = 24
+    # save_chain: the forward additionally writes the trunk activations +
+    # xyzf/rgbh/h1/h2 to HBM (compute dtype, bf16 in bf16 mode) and the
+    # backward reads them instead of recomputing the whole chain — trades
+    # ~1.2 MFLOP/sample of MXU recompute for streamed HBM traffic the
+    # block pipeline hides (docs/ROADMAP.md "last kernel headroom").
+    # Numerics: the stored bf16 acts equal the values the recompute's
+    # _dot cast would produce; only sub-bf16-epsilon ReLU mask flips
+    # differ.
+    save_chain: bool = False
 
     @property
     def use_feat(self) -> bool:
@@ -144,6 +156,23 @@ class RTStatic(NamedTuple):
         return tuple(keys)
 
     @property
+    def bwd_t_keys(self) -> Tuple[str, ...]:
+        """Head weights whose TRANSPOSE the backward kernel consumes.
+        Passed as extra pre-transposed inputs: a `.T` inside the kernel
+        body is a Mosaic relayout re-executed on every grid step (256x at
+        the flagship batch), while the XLA-side transpose runs once per
+        train step. sigma/csig columns ride along so their (W,1)->(1,W)
+        reshape is also hoisted."""
+        keys = ["xyzf_w", "sigma_w"]
+        if self.use_feat:
+            keys.append("feat_w")
+        if self.use_rgb:
+            keys += ["rgb1_w", "rgb2_w"]
+        if self.use_cand:
+            keys += ["c1x_w", "c1c_w", "c2_w", "cfeat_w", "csig_w"]
+        return tuple(keys)
+
+    @property
     def res_keys(self) -> Tuple[str, ...]:
         """Forward residuals saved for the backward (skip pass-1 recompute):
         sigmas for the compositing backward, head outputs for the per-ray
@@ -151,13 +180,55 @@ class RTStatic(NamedTuple):
         keys = ["sig_s"]
         if self.use_cand:
             keys.append("sig_c")
-        if self.use_feat:
-            keys.append("feat")
-        if self.out_feat and self.use_cand:
-            keys.append("cfeat")
+        if not self.save_chain:
+            # with the chain saved, feat/cfeat are NOT written to HBM: the
+            # backward recomputes them from the stored xyzf/h2 in two
+            # matmuls — bit-identical f32 values (same bf16 operands, same
+            # accumulation) for ~5 GB/step less residual traffic.
+            if self.use_feat:
+                keys.append("feat")
+            if self.out_feat and self.use_cand:
+                keys.append("cfeat")
         if self.use_rgb:
             keys.append("rgb")
+        if self.save_chain:
+            keys.append("chain")
         return tuple(keys)
+
+    def chain_cols(self, W: int, HH: int, HC: int) -> Tuple[Tuple[str, int], ...]:
+        """Column layout of the saved walk chain: (name, width) segments,
+        concatenated along the feature axis of one (R*S, total) tensor."""
+        segs = [(f"act{i}", W) for i in range(self.D)]
+        segs.append(("xyzf", W))
+        if self.use_rgb:
+            segs.append(("rgbh", HH))
+        if self.use_cand:
+            segs += [("h1", HC), ("h2", HC)]
+        return tuple(segs)
+
+
+_BIG_HEADS = (
+    "xyzf_w", "feat_w", "rgb1_w", "rgb2_w", "c1x_w", "c1c_w", "c2_w",
+    "cfeat_w",
+)
+
+
+def _prep_weights(trunk, heads, st: "RTStatic"):
+    """Pre-cast the big matmul weights to bf16 on the XLA side — once per
+    train step — so the kernel body (re-executed on EVERY grid step) skips
+    the per-weight f32->bf16 casts. Numerically identical: `_dot`'s astype
+    becomes a no-op on an already-bf16 operand. Biases and the (W, 1)
+    sigma columns stay f32: they are consumed in f32 adds / rank-1 VPU
+    updates, never as wide bf16 matmul operands. trunk_3x needs the f32
+    weights in-kernel for its hi/lo split, so it opts out."""
+    if st.precision != "bfloat16" or st.trunk_3x:
+        return trunk, heads
+    trunk = tuple((w.astype(jnp.bfloat16), b) for w, b in trunk)
+    heads = {
+        k: (v.astype(jnp.bfloat16) if k in _BIG_HEADS else v)
+        for k, v in heads.items()
+    }
+    return trunk, heads
 
 
 def _dot(a, b, compute_dtype):
@@ -190,6 +261,15 @@ def _trunk_dot(a, b, compute_dtype, trunk_3x=False):
 
         return d(ah, bh) + d(ah, bl) + d(al, bh)
     return _dot(a, b, compute_dtype)
+
+
+def _pos(t):
+    """ReLU mask robust to bf16 storage: Mosaic's vector cmpf has no bf16
+    lowering, so compare in f32 (bf16 rounding preserves sign, making the
+    mask identical to the one the f32 recompute produced)."""
+    if t.dtype == jnp.bfloat16:
+        t = t.astype(jnp.float32)
+    return t > 0
 
 
 def _tri(S: int, lower: bool) -> jnp.ndarray:
@@ -320,13 +400,17 @@ def _group_rows(st: RTStatic, S: int, in0: int, W: int, F: int = 0) -> int:
     subgroup slice of the budget must stay small)."""
     bpe = 2 if st.precision == "bfloat16" else 4
     spe = 2 if _store_dtype(st) == jnp.bfloat16 else 4
-    per_row = (st.D + 4) * W * bpe        # trunk chain + xyzf/walk temps
+    if st.save_chain:
+        # chain streamed from HBM: only the walk's live tensors stay
+        per_row = 6 * W * bpe
+    else:
+        per_row = (st.D + 4) * W * bpe    # trunk chain + xyzf/walk temps
     per_row += 3 * max(F, 1) * spe        # feat/cfeat/g_f-width tensors
     per_row += 4 * 128 * bpe              # lane-padded (M,1)/(M,3)/lane0
     # With the Mosaic VMEM cap raised to 64 MB (_compiler_params), bigger
     # subgroups buy larger matmul M-dims (better MXU utilization); the
     # budget keeps total residency comfortably under the cap.
-    budget = 12 * 2**20
+    budget = st.group_budget_mb * 2**20
     g = max(1, budget // max(S * per_row, 1))
     while st.ray_tile % g != 0:
         g -= 1
@@ -428,8 +512,14 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
     heads = {k: it.pop(0)[:] for k in st.head_keys}
     outs = {k: it.pop(0) for k in st.out_keys}
     if save_res:
-        # residuals are extra OUTPUTS (written per tile, read back below)
+        # residuals are extra OUTPUTS (written per tile, read back below);
+        # in save_chain mode feat/cfeat are VMEM-only scratch (trailing
+        # args) — compositing still reads them, but they never reach HBM
         scr = {k: it.pop(0) for k in st.res_keys}
+        if st.save_chain and st.out_feat:
+            scr["feat"] = it.pop(0)
+            if st.use_cand:
+                scr["cfeat"] = it.pop(0)
     else:
         # scratch (trailing args)
         scr = {"sig_s": it.pop(0)}
@@ -462,6 +552,17 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
         cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
         _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt, st.trunk_3x)
         o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G)
+        if save_res and st.save_chain:
+            ch = scr["chain"]
+            segs = acts + [o["xyzf"]]
+            if st.use_rgb:
+                segs.append(o["rgbh"])
+            if st.use_cand:
+                segs += [o["h1"], o["h2"]]
+            col = 0
+            for t in segs:
+                ch[r0:r1, col:col + t.shape[1]] = t.astype(ch.dtype)
+                col += t.shape[1]
         scr["sig_s"][g0:g0 + G, :] = o["sigma"]
         if st.use_cand:
             scr["sig_c"][g0:g0 + G, :] = o["c_sigma"]
@@ -514,6 +615,8 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     cemb_ref = it.pop(0) if st.use_cand else None
     trunk = [(it.pop(0)[:], it.pop(0)[:]) for _ in range(st.D)]
     heads = {k: it.pop(0)[:] for k in st.head_keys}
+    trunkT = [it.pop(0)[:] for _ in range(st.D)]
+    headsT = {k: it.pop(0)[:] for k in st.bwd_t_keys}
     cots = {k: it.pop(0) for k in st.out_keys}
     res = {k: it.pop(0) for k in st.res_keys}
     if st.xyz_L:
@@ -538,8 +641,41 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     g_rgbm = cots["rgb_map"][:].astype(jnp.float32) if st.use_rgb else None
 
     # --- per-ray cotangent inner products from the residuals (no pass-1
-    # chain recompute: the forward saved sigmas + head outputs) -----------
-    feat_res = res["feat"][:] if st.use_feat else None
+    # chain recompute: the forward saved sigmas + head outputs). In
+    # save_chain mode feat/cfeat were NOT stored: re-derive them from the
+    # stored xyzf/h2 — same bf16 operands, same f32 accumulation, so the
+    # values are bit-identical to what the forward composited. -----------
+    chain_cuts = None
+    if st.save_chain:
+        Wt = trunk[0][0].shape[1]
+        HHw = heads["rgb1_w"].shape[1] if st.use_rgb else 0
+        HCw = heads["c2_w"].shape[1] if st.use_cand else 0
+        chain_cuts, col = {}, 0
+        for name, w in st.chain_cols(Wt, HHw, HCw):
+            chain_cuts[name] = (col, w)
+            col += w
+
+    def _chain_seg(rows, name):
+        c0, w = chain_cuts[name]
+        return res["chain"][rows, c0:c0 + w]
+
+    feat_res = rgb_res = cfeat_res = None
+    if st.use_feat:
+        if st.save_chain:
+            feat_res = (
+                _dot(_chain_seg(slice(None), "xyzf"), heads["feat_w"], cdt)
+                + heads["feat_b"]
+            )
+        else:
+            feat_res = res["feat"][:]
+    if st.out_feat and st.use_cand:
+        if st.save_chain:
+            cfeat_res = (
+                _dot(_chain_seg(slice(None), "h2"), heads["cfeat_w"], cdt)
+                + heads["cfeat_b"]
+            )
+        else:
+            cfeat_res = res["cfeat"][:]
     rgb_res = res["rgb"][:] if st.use_rgb else None
     p_scr = q_scr = rr_scr = None
     if st.out_feat:
@@ -549,7 +685,7 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         ).sum(axis=-1)
         if st.use_cand:
             q_scr = (
-                res["cfeat"][:].astype(jnp.float32).reshape(Rt, S, -1) * gf3
+                cfeat_res.astype(jnp.float32).reshape(Rt, S, -1) * gf3
             ).sum(axis=-1)
     if st.use_rgb:
         rr_scr = (
@@ -624,10 +760,36 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
             res_g["feat"] = feat_res[r0:r1, :]
         if rgb_res is not None:
             res_g["rgb"] = rgb_res[r0:r1, :]
-        inputs, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt, st.trunk_3x)
-        h = acts[-1]
-        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G,
-                      with_sigma=False, res=res_g)
+        if st.save_chain:
+            # stored walk chain: no recompute. The bf16 slices equal the
+            # values the recompute's _dot casts would produce, and bf16
+            # rounding preserves sign, so the ReLU masks are identical.
+            rows = slice(r0, r1)
+            acts = [_chain_seg(rows, f"act{i}") for i in range(st.D)]
+            o = {"xyzf": _chain_seg(rows, "xyzf")}
+            if st.use_rgb:
+                o["rgbh"] = _chain_seg(rows, "rgbh")
+                o["rgb"] = res_g["rgb"]
+            if st.use_cand:
+                o["h1"] = _chain_seg(rows, "h1")
+                o["h2"] = _chain_seg(rows, "h2")
+            if st.use_feat:
+                o["feat"] = res_g["feat"]
+            x0c = x0.astype(cdt)
+            inputs = [x0c]
+            for i in range(1, st.D):
+                prev = acts[i - 1]
+                if i in st.skips:
+                    prev = jnp.concatenate([x0c, prev], axis=-1)
+                inputs.append(prev)
+            h = acts[-1]
+        else:
+            inputs, acts = _trunk_chain(
+                x0, trunk, st.D, st.skips, cdt, st.trunk_3x
+            )
+            h = acts[-1]
+            o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G,
+                          with_sigma=False, res=res_g)
 
         g_xyzf = jnp.zeros((M, heads["xyzf_w"].shape[1]), jnp.float32)
         g_f = None
@@ -641,15 +803,15 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
             g_u = g_rgb * (o["rgb"] * (1.0 - o["rgb"])).astype(jnp.float32)
             _acc("rgb2_w", _dot(o["rgbh"].T, g_u, cdt))
             _acc("rgb2_b", g_u.sum(axis=0))
-            g_rgbh = _dot(g_u, heads["rgb2_w"].T, cdt) * (o["rgbh"] > 0)
+            g_rgbh = _dot(g_u, headsT["rgb2_w"], cdt) * _pos(o["rgbh"])
             _acc("rgb1_w", _dot(o["feat"].T, g_rgbh, cdt))
             dcond_ref[g0:g0 + G, :] = g_rgbh.reshape(G, S, -1).sum(axis=1)
-            g_from_rgb = _dot(g_rgbh, heads["rgb1_w"].T, cdt)
+            g_from_rgb = _dot(g_rgbh, headsT["rgb1_w"], cdt)
             g_f = g_from_rgb if g_f is None else g_f + g_from_rgb
         if st.use_feat:
             _acc("feat_w", _dot(o["xyzf"].T, g_f, cdt))
             _acc("feat_b", g_f.sum(axis=0))
-            g_xyzf = g_xyzf + _dot(g_f, heads["feat_w"].T, cdt)
+            g_xyzf = g_xyzf + _dot(g_f, headsT["feat_w"], cdt)
         if st.use_cand:
             if st.out_feat:
                 g_cf = (
@@ -659,25 +821,25 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
                 g_cf = jnp.zeros((M, heads["cfeat_w"].shape[1]), jnp.float32)
             _acc("cfeat_w", _dot(o["h2"].T, g_cf, cdt))
             _acc("cfeat_b", g_cf.sum(axis=0))
-            g_h2 = _dot(g_cf, heads["cfeat_w"].T, cdt)
+            g_h2 = _dot(g_cf, headsT["cfeat_w"], cdt)
             g_cpre_g = g_cpre[g0:g0 + G, :]  # (G, S)
             g_cpre_ext = _lane0(g_cpre_g)
             _acc("csig_w", _dot(o["h2"].T, g_cpre_ext, cdt)[:, :1])
             _acc("csig_b", g_cpre_ext.sum(axis=0)[:1])
             g_h2 = g_h2 + (
                 g_cpre_g[:, :, None]
-                * heads["csig_w"].T.reshape(1, 1, -1)
+                * headsT["csig_w"].reshape(1, 1, -1)
             ).reshape(M, -1)
-            g_h2 = g_h2 * (o["h2"] > 0)
+            g_h2 = g_h2 * _pos(o["h2"])
             _acc("c2_w", _dot(o["h1"].T, g_h2, cdt))
             _acc("c2_b", g_h2.sum(axis=0))
-            g_h1 = _dot(g_h2, heads["c2_w"].T, cdt) * (o["h1"] > 0)
+            g_h1 = _dot(g_h2, headsT["c2_w"], cdt) * _pos(o["h1"])
             _acc("c1x_w", _dot(o["xyzf"].T, g_h1, cdt))
             _acc("c1_b", g_h1.sum(axis=0))
             ray_g1 = g_h1.reshape(G, S, -1).sum(axis=1)  # (G, Hc)
             _acc("c1c_w", _dot(cemb_g.T, ray_g1, cdt))
-            dcemb_ref[g0:g0 + G, :] = _dot(ray_g1, heads["c1c_w"].T, cdt)
-            g_xyzf = g_xyzf + _dot(g_h1, heads["c1x_w"].T, cdt)
+            dcemb_ref[g0:g0 + G, :] = _dot(ray_g1, headsT["c1c_w"], cdt)
+            g_xyzf = g_xyzf + _dot(g_h1, headsT["c1x_w"], cdt)
 
         g_spre_g = g_spre[g0:g0 + G, :]  # (G, S)
         g_spre_ext = _lane0(g_spre_g)
@@ -686,19 +848,18 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         _acc("xyzf_w", _dot(h.T, g_xyzf, cdt))
         _acc("xyzf_b", g_xyzf.sum(axis=0))
         g_h = (
-            g_spre_g[:, :, None] * heads["sigma_w"].T.reshape(1, 1, -1)
+            g_spre_g[:, :, None] * headsT["sigma_w"].reshape(1, 1, -1)
         ).reshape(M, -1)
-        g_h = g_h + _dot(g_xyzf, heads["xyzf_w"].T, cdt)
+        g_h = g_h + _dot(g_xyzf, headsT["xyzf_w"], cdt)
 
         # trunk reverse walk
         g = g_h
         dx0 = jnp.zeros((M, in0), jnp.float32)
         for i in reversed(range(st.D)):
-            w, _ = trunk[i]
-            g = g * (acts[i] > 0)
+            g = g * _pos(acts[i])
             _acc(f"trunk{i}_w", _trunk_dot(inputs[i].T, g, cdt, st.trunk_3x))
             _acc(f"trunk{i}_b", g.sum(axis=0))
-            g_in = _trunk_dot(g, w.T, cdt, st.trunk_3x)
+            g_in = _trunk_dot(g, trunkT[i], cdt, st.trunk_3x)
             if i in st.skips and i > 0:
                 dx0 = dx0 + g_in[:, :in0]
                 g = g_in[:, in0:]
@@ -742,7 +903,7 @@ def _compiler_params():
     v5e has headroom above the conservative default."""
     if INTERPRET:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
 
 def _vmem(shape):
@@ -801,11 +962,13 @@ def _out_meta(st, R, S, F):
     return shapes, specs
 
 
-def _res_meta(st, R, S, F, sdt):
+def _res_meta(st, R, S, F, sdt, chain_w=0):
     """(shapes, specs) for the saved-for-backward residuals, res_keys
     order. Sigmas stay f32 (the compositing backward is exact); the
-    per-sample head outputs use the storage dtype."""
+    per-sample head outputs use the storage dtype; the optional walk
+    chain uses the compute dtype (its consumers cast to it anyway)."""
     Rt = st.ray_tile
+    cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
     shapes, specs = [], []
     for k in st.res_keys:
         if k in ("sig_s", "sig_c"):
@@ -817,7 +980,18 @@ def _res_meta(st, R, S, F, sdt):
         elif k == "rgb":
             shapes.append(jax.ShapeDtypeStruct((R * S, 3), sdt))
             specs.append(_rows(Rt * S, 3))
+        elif k == "chain":
+            shapes.append(jax.ShapeDtypeStruct((R * S, chain_w), cdt))
+            specs.append(_rows(Rt * S, chain_w))
     return shapes, specs
+
+
+def _chain_w(st, heads, W):
+    if not st.save_chain:
+        return 0
+    HH = heads["rgb1_w"].shape[1] if st.use_rgb else 0
+    HC = heads["c2_w"].shape[1] if st.use_cand else 0
+    return sum(w for _, w in st.chain_cols(W, HH, HC))
 
 
 def _fwd_scratch(st, S, F, sdt):
@@ -881,14 +1055,24 @@ def _fwd_impl(front, z_vals, ray_cond, c_emb, trunk, heads, st: RTStatic,
     W = trunk[0][0].shape[1]
     G = _group_rows(st, S, in0, W, F)
     sdt = _store_dtype(st)
+    assert not (st.save_chain and st.trunk_3x), "save_chain stores the"\
+        " bf16 chain; trunk_3x needs f32 inputs in-kernel"
+    trunk, heads = _prep_weights(trunk, heads, st)
 
     in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
     out_shapes, out_specs = _out_meta(st, R, S, F)
     if save_res:
-        res_shapes, res_specs = _res_meta(st, R, S, F, sdt)
+        res_shapes, res_specs = _res_meta(
+            st, R, S, F, sdt, chain_w=_chain_w(st, heads, W)
+        )
         out_shapes += res_shapes
         out_specs += res_specs
         scratch = []
+        if st.save_chain and st.out_feat:
+            Rt = st.ray_tile
+            scratch.append(pltpu.VMEM((Rt * S, F), sdt))
+            if st.use_cand:
+                scratch.append(pltpu.VMEM((Rt * S, F), sdt))
     else:
         scratch = _fwd_scratch(st, S, F, sdt)
 
@@ -935,8 +1119,15 @@ def _bwd_impl(st: RTStatic, res, g):
     F = heads["feat_w"].shape[1] if st.use_feat else 0
     G = _group_rows(st, S, in0, W, F)
     sdt = _store_dtype(st)
+    trunk, heads = _prep_weights(trunk, heads, st)
+    # pre-transposed weight copies for the reverse walk (see bwd_t_keys)
+    trunkT = tuple(w.T for w, _ in trunk)
+    headsT = {k: heads[k].T for k in st.bwd_t_keys}
 
     in_specs, flat = _in_specs_flat(st, front, z_vals, ray_cond, c_emb, trunk, heads)
+    t_flat = list(trunkT) + [headsT[k] for k in st.bwd_t_keys]
+    in_specs += [_vmem(t.shape) for t in t_flat]
+    flat += t_flat
     # cotangent inputs, same layout as the outputs
     cot_arrays, cot_specs = [], []
     for k in st.out_keys:
@@ -946,7 +1137,7 @@ def _bwd_impl(st: RTStatic, res, g):
         cot_arrays.append(v)
         cot_specs.append(_rows(Rt, v.shape[1]))
     # forward residuals (same layout as the fwd's extra outputs)
-    _, res_specs = _res_meta(st, R, S, F, sdt)
+    _, res_specs = _res_meta(st, R, S, F, sdt, chain_w=_chain_w(st, heads, W))
     cot_arrays += list(saved)
     cot_specs += res_specs
 

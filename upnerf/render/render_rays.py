@@ -64,6 +64,10 @@ class RenderConfig(NamedTuple):
     # ops.pallas_render_train.RTStatic for what each one trades).
     store_f32: bool = True
     trunk_3x: bool = False
+    # Save the walk chain (trunk acts + head intermediates) to HBM in the
+    # fused forward so the fused backward skips the chain recompute —
+    # trades MXU FLOPs for streamed HBM traffic (see RTStatic.save_chain).
+    save_chain: bool = True
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "RenderConfig":
@@ -79,6 +83,7 @@ class RenderConfig(NamedTuple):
             fused_train=_auto_fused(hp.get("tpu.fused_train")),
             store_f32=hp.get("tpu.store_f32", True),
             trunk_3x=hp.get("tpu.trunk_3x", False),
+            save_chain=hp.get("tpu.save_chain", True),
         )
 
 
@@ -295,6 +300,7 @@ def _fused_train_path(
         use_rgb=use_rgb, out_feat=out_feat, precision=rcfg.precision,
         xyz_L=nerf_cfg.xyz_L, store_f32=rcfg.store_f32,
         trunk_3x=rcfg.trunk_3x,
+        save_chain=rcfg.save_chain and not rcfg.trunk_3x,
     )
     out = fused_render_train_rays(
         rays_o, rays_d, z_vals, w_xyz, ray_cond,
