@@ -373,17 +373,31 @@ def _pe_backward(dx0, pe_cache, z_g, L):
     return d_o, d_d
 
 
-def _trunk_chain(x0, trunk, D, skips, cdt, trunk_3x=False):
-    inputs, acts = [], []
-    h = x0
+def _trunk_chain_multi(x0s, trunk, D, skips, cdt, trunk_3x=False):
+    """Trunk chains for several independent ray subgroups, LAYER-MAJOR:
+    all subgroups' layer-i matmuls are traced before any layer-i+1 op, so
+    Mosaic (an in-order scheduler — measured: subgroup-major G=4 == G=8)
+    can overlap subgroup B's MXU matmul with subgroup A's VPU epilogue
+    (bias+relu+cast ~0.54 us vs matmul ~0.68 us at M=1024: the serialized
+    pair is exactly the measured ~55%-of-peak ceiling)."""
+    inputss = [[] for _ in x0s]
+    actss = [[] for _ in x0s]
+    hs = list(x0s)
     for i in range(D):
-        if i in skips and i > 0:
-            h = jnp.concatenate([x0, h], axis=-1)
-        inputs.append(h)
         w, b = trunk[i]
-        h = jnp.maximum(_trunk_dot(h, w, cdt, trunk_3x) + b, 0.0)
-        acts.append(h)
-    return inputs, acts
+        for j, x0 in enumerate(x0s):
+            h = hs[j]
+            if i in skips and i > 0:
+                h = jnp.concatenate([x0, h], axis=-1)
+            inputss[j].append(h)
+            hs[j] = jnp.maximum(_trunk_dot(h, w, cdt, trunk_3x) + b, 0.0)
+            actss[j].append(hs[j])
+    return inputss, actss
+
+
+def _trunk_chain(x0, trunk, D, skips, cdt, trunk_3x=False):
+    inputss, actss = _trunk_chain_multi([x0], trunk, D, skips, cdt, trunk_3x)
+    return inputss[0], actss[0]
 
 
 def _deltas(z):
@@ -417,57 +431,92 @@ def _group_rows(st: RTStatic, S: int, in0: int, W: int, F: int = 0) -> int:
     return g
 
 
-def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt, G,
-              with_sigma=True, res=None):
-    """Head math for one subgroup. h: (M, W) with M = G*Sg; cond_g: (G, Hh)
-    per-ray rgb conditioning; cemb_ray: (G, C). Returns dict of per-sample
-    tensors. Sigmas come back as (G, Sg): an (M, 1) tensor lane-pads to 128
-    in VMEM (1.5 MB per tensor at the flagship tile), so the single-column
-    matmul results are collapsed immediately.
+def _head_fwd_multi(hs, cond_gs, cemb_gs, heads, st: RTStatic, cdt, G,
+                    with_sigma=True, ress=None):
+    """Head math for several independent ray subgroups, STAGE-MAJOR (see
+    _trunk_chain_multi for why). hs[j]: (M, W) with M = G*Sg; cond_gs[j]:
+    (G, Hh) per-ray rgb conditioning; cemb_gs[j]: (G, C). Returns a dict
+    of per-sample tensors per subgroup. Sigmas come back as (G, Sg): an
+    (M, 1) tensor lane-pads to 128 in VMEM, so the single-column matmul
+    results are collapsed immediately.
 
-    res (backward reverse-walk only): forward residuals for this subgroup —
+    ress (backward reverse-walk only): forward residuals per subgroup —
     "feat"/"rgb" replace their recompute matmuls (in bf16 mode the stored
     value equals the recompute after the _dot input cast), and c_feat is
     skipped entirely (the walk never reads it)."""
-    o: Dict[str, jnp.ndarray] = {}
-    M = h.shape[0]
-    Sg = M // G
+    n = len(hs)
+    js = range(n)
+    os_: list = [{} for _ in js]
+    Sgs = [h.shape[0] // G for h in hs]
+    res_of = (lambda j: ress[j]) if ress is not None else (lambda j: None)
     if with_sigma:
-        sig_pre = _dot(h, heads["sigma_w"], cdt) + heads["sigma_b"]
-        o["sigma"] = jax.nn.softplus(sig_pre).reshape(G, Sg)
-    xyzf = _dot(h, heads["xyzf_w"], cdt) + heads["xyzf_b"]
-    o["xyzf"] = xyzf
+        for j in js:
+            sig_pre = _dot(hs[j], heads["sigma_w"], cdt) + heads["sigma_b"]
+            os_[j]["sigma"] = jax.nn.softplus(sig_pre).reshape(G, Sgs[j])
+    for j in js:
+        os_[j]["xyzf"] = _dot(hs[j], heads["xyzf_w"], cdt) + heads["xyzf_b"]
     if st.use_feat:
-        if res is not None:
-            o["feat"] = res["feat"]
-        else:
-            o["feat"] = _dot(xyzf, heads["feat_w"], cdt) + heads["feat_b"]
+        for j in js:
+            if res_of(j) is not None:
+                os_[j]["feat"] = res_of(j)["feat"]
+            else:
+                os_[j]["feat"] = (
+                    _dot(os_[j]["xyzf"], heads["feat_w"], cdt)
+                    + heads["feat_b"]
+                )
     if st.use_rgb:
-        pre = _dot(o["feat"], heads["rgb1_w"], cdt)
-        pre = (pre.reshape(G, Sg, -1) + cond_g[:, None, :]).reshape(M, -1)
-        o["rgbh"] = jnp.maximum(pre, 0.0)
-        if res is not None:
-            o["rgb"] = res["rgb"]
-        else:
-            o["rgb"] = jax.nn.sigmoid(
-                _dot(o["rgbh"], heads["rgb2_w"], cdt) + heads["rgb2_b"]
-            )
+        for j in js:
+            M = hs[j].shape[0]
+            pre = _dot(os_[j]["feat"], heads["rgb1_w"], cdt)
+            pre = (
+                pre.reshape(G, Sgs[j], -1) + cond_gs[j][:, None, :]
+            ).reshape(M, -1)
+            os_[j]["rgbh"] = jnp.maximum(pre, 0.0)
+        for j in js:
+            if res_of(j) is not None:
+                os_[j]["rgb"] = res_of(j)["rgb"]
+            else:
+                os_[j]["rgb"] = jax.nn.sigmoid(
+                    _dot(os_[j]["rgbh"], heads["rgb2_w"], cdt)
+                    + heads["rgb2_b"]
+                )
     if st.use_cand:
-        ray_part = _dot(cemb_ray, heads["c1c_w"], cdt) + heads["c1_b"]
-        pre1 = _dot(xyzf, heads["c1x_w"], cdt)
-        pre1 = (pre1.reshape(G, Sg, -1) + ray_part[:, None, :]).reshape(M, -1)
-        o["h1"] = jnp.maximum(pre1, 0.0)
-        o["h2"] = jnp.maximum(
-            _dot(o["h1"], heads["c2_w"], cdt) + heads["c2_b"], 0.0
-        )
-        if with_sigma:
-            csig_pre = _dot(o["h2"], heads["csig_w"], cdt) + heads["csig_b"]
-            o["c_sigma"] = jax.nn.softplus(csig_pre).reshape(G, Sg)
-        if res is None:
-            o["c_feat"] = (
-                _dot(o["h2"], heads["cfeat_w"], cdt) + heads["cfeat_b"]
+        for j in js:
+            M = hs[j].shape[0]
+            ray_part = _dot(cemb_gs[j], heads["c1c_w"], cdt) + heads["c1_b"]
+            pre1 = _dot(os_[j]["xyzf"], heads["c1x_w"], cdt)
+            pre1 = (
+                pre1.reshape(G, Sgs[j], -1) + ray_part[:, None, :]
+            ).reshape(M, -1)
+            os_[j]["h1"] = jnp.maximum(pre1, 0.0)
+        for j in js:
+            os_[j]["h2"] = jnp.maximum(
+                _dot(os_[j]["h1"], heads["c2_w"], cdt) + heads["c2_b"], 0.0
             )
-    return o
+        if with_sigma:
+            for j in js:
+                csig_pre = (
+                    _dot(os_[j]["h2"], heads["csig_w"], cdt)
+                    + heads["csig_b"]
+                )
+                os_[j]["c_sigma"] = jax.nn.softplus(csig_pre).reshape(
+                    G, Sgs[j]
+                )
+        for j in js:
+            if res_of(j) is None:
+                os_[j]["c_feat"] = (
+                    _dot(os_[j]["h2"], heads["cfeat_w"], cdt)
+                    + heads["cfeat_b"]
+                )
+    return os_
+
+
+def _head_fwd(h, cond_g, cemb_ray, heads, st: RTStatic, cdt, G,
+              with_sigma=True, res=None):
+    return _head_fwd_multi(
+        [h], [cond_g], [cemb_ray], heads, st, cdt, G,
+        with_sigma=with_sigma, ress=[res] if res is not None else None,
+    )[0]
 
 
 def _composite(sig_s, sig_c, z, st: RTStatic):
@@ -539,19 +588,30 @@ def _fwd_kernel(*refs, st: RTStatic, S: int, G: int, save_res: bool):
     z = z_ref[:].astype(jnp.float32)
     pw_row = pw_ref[:].reshape(1, st.xyz_L) if st.xyz_L else None
 
-    for g0 in range(0, Rt, G):
-        r0, r1 = g0 * S, (g0 + G) * S
+    g0s = list(range(0, Rt, G))
+    x0s, cond_gs, cemb_gs = [], [], []
+    for g0 in g0s:
         if st.xyz_L:
             x0, _ = _pe_forward(
                 o_ref[g0:g0 + G, :], d_ref[g0:g0 + G, :], z[g0:g0 + G, :],
                 pw_row, st.xyz_L,
             )
         else:
-            x0 = x_ref[r0:r1, :]
-        cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
-        cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
-        _, acts = _trunk_chain(x0, trunk, st.D, st.skips, cdt, st.trunk_3x)
-        o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G)
+            x0 = x_ref[g0 * S:(g0 + G) * S, :]
+        x0s.append(x0)
+        cond_gs.append(
+            cond_ref[g0:g0 + G, :] if cond_ref is not None else None
+        )
+        cemb_gs.append(
+            cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
+        )
+    _, actss = _trunk_chain_multi(x0s, trunk, st.D, st.skips, cdt, st.trunk_3x)
+    os_ = _head_fwd_multi(
+        [a[-1] for a in actss], cond_gs, cemb_gs, heads, st, cdt, G
+    )
+    for j, g0 in enumerate(g0s):
+        r0, r1 = g0 * S, (g0 + G) * S
+        acts, o = actss[j], os_[j]
         if save_res and st.save_chain:
             ch = scr["chain"]
             segs = acts + [o["xyzf"]]
@@ -736,145 +796,213 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     cg = c["cw"] if (st.out_feat and st.use_cand) else None
     cr = c["ow"] if st.use_rgb else None
 
-    # --- reverse walk: the single chain recompute + gradient accumulate --
+    # --- reverse walk: gradient accumulate over the stored (or recomputed)
+    # chain, STAGE-MAJOR over the independent ray subgroups (see
+    # _trunk_chain_multi): each stage loops over subgroups, letting the
+    # in-order scheduler overlap one subgroup's VPU work with another's
+    # matmuls. Per-parameter accumulation keeps subgroup order, so the
+    # sums are bit-identical to a subgroup-major walk. ------------------
     dparams: Dict[str, Any] = {}
 
     def _acc(name, val):
         dparams[name] = dparams.get(name, 0.0) + val
 
-    for g0 in range(0, Rt, G):
+    g0s = list(range(0, Rt, G))
+    n = len(g0s)
+    js = range(n)
+    M = G * S
+
+    x0s, pe_caches, cond_gs, cemb_gs, res_gs = [], [], [], [], []
+    for g0 in g0s:
         r0, r1 = g0 * S, (g0 + G) * S
-        M = G * S
-        pe_cache = None
         if st.xyz_L:
             x0, pe_cache = _pe_forward(
                 o_ref[g0:g0 + G, :], d_ref[g0:g0 + G, :], z[g0:g0 + G, :],
                 pw_row, st.xyz_L,
             )
         else:
-            x0 = x_ref[r0:r1, :]
-        cond_g = cond_ref[g0:g0 + G, :] if cond_ref is not None else None
-        cemb_g = cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
+            x0, pe_cache = x_ref[r0:r1, :], None
+        x0s.append(x0)
+        pe_caches.append(pe_cache)
+        cond_gs.append(
+            cond_ref[g0:g0 + G, :] if cond_ref is not None else None
+        )
+        cemb_gs.append(
+            cemb_ref[g0:g0 + G, :] if cemb_ref is not None else None
+        )
         res_g = {}
         if feat_res is not None:
             res_g["feat"] = feat_res[r0:r1, :]
         if rgb_res is not None:
             res_g["rgb"] = rgb_res[r0:r1, :]
-        if st.save_chain:
-            # stored walk chain: no recompute. The bf16 slices equal the
-            # values the recompute's _dot casts would produce, and bf16
-            # rounding preserves sign, so the ReLU masks are identical.
-            rows = slice(r0, r1)
+        res_gs.append(res_g)
+
+    if st.save_chain:
+        # stored walk chain: no recompute. The bf16 slices equal the
+        # values the recompute's _dot casts would produce, and bf16
+        # rounding preserves sign, so the ReLU masks are identical.
+        inputss, actss, os_ = [], [], []
+        for j, g0 in enumerate(g0s):
+            rows = slice(g0 * S, (g0 + G) * S)
             acts = [_chain_seg(rows, f"act{i}") for i in range(st.D)]
             o = {"xyzf": _chain_seg(rows, "xyzf")}
             if st.use_rgb:
                 o["rgbh"] = _chain_seg(rows, "rgbh")
-                o["rgb"] = res_g["rgb"]
+                o["rgb"] = res_gs[j]["rgb"]
             if st.use_cand:
                 o["h1"] = _chain_seg(rows, "h1")
                 o["h2"] = _chain_seg(rows, "h2")
             if st.use_feat:
-                o["feat"] = res_g["feat"]
-            x0c = x0.astype(cdt)
+                o["feat"] = res_gs[j]["feat"]
+            x0c = x0s[j].astype(cdt)
             inputs = [x0c]
             for i in range(1, st.D):
                 prev = acts[i - 1]
                 if i in st.skips:
                     prev = jnp.concatenate([x0c, prev], axis=-1)
                 inputs.append(prev)
-            h = acts[-1]
-        else:
-            inputs, acts = _trunk_chain(
-                x0, trunk, st.D, st.skips, cdt, st.trunk_3x
-            )
-            h = acts[-1]
-            o = _head_fwd(acts[-1], cond_g, cemb_g, heads, st, cdt, G,
-                          with_sigma=False, res=res_g)
+            inputss.append(inputs)
+            actss.append(acts)
+            os_.append(o)
+    else:
+        inputss, actss = _trunk_chain_multi(
+            x0s, trunk, st.D, st.skips, cdt, st.trunk_3x
+        )
+        os_ = _head_fwd_multi(
+            [a[-1] for a in actss], cond_gs, cemb_gs, heads, st, cdt, G,
+            with_sigma=False, ress=res_gs,
+        )
+    hs = [a[-1] for a in actss]
 
-        g_xyzf = jnp.zeros((M, heads["xyzf_w"].shape[1]), jnp.float32)
-        g_f = None
-        if st.out_feat:
+    g_xyzfs = [
+        jnp.zeros((M, heads["xyzf_w"].shape[1]), jnp.float32) for _ in js
+    ]
+    g_fs: list = [None] * n
+    if st.out_feat:
+        for j, g0 in enumerate(g0s):
             gf3 = g_feat[g0:g0 + G][:, None, :]  # (G, 1, F)
-            g_f = (cf[g0:g0 + G][:, :, None] * gf3).reshape(M, -1)
-        if st.use_rgb:
+            g_fs[j] = (cf[g0:g0 + G][:, :, None] * gf3).reshape(M, -1)
+    if st.use_rgb:
+        g_us, g_rgbhs = [None] * n, [None] * n
+        for j, g0 in enumerate(g0s):
             gr3 = g_rgbm[g0:g0 + G][:, None, :]
             g_rgb = (cr[g0:g0 + G][:, :, None] * gr3).reshape(M, -1)
             # sigmoid'
-            g_u = g_rgb * (o["rgb"] * (1.0 - o["rgb"])).astype(jnp.float32)
-            _acc("rgb2_w", _dot(o["rgbh"].T, g_u, cdt))
-            _acc("rgb2_b", g_u.sum(axis=0))
-            g_rgbh = _dot(g_u, headsT["rgb2_w"], cdt) * _pos(o["rgbh"])
-            _acc("rgb1_w", _dot(o["feat"].T, g_rgbh, cdt))
-            dcond_ref[g0:g0 + G, :] = g_rgbh.reshape(G, S, -1).sum(axis=1)
-            g_from_rgb = _dot(g_rgbh, headsT["rgb1_w"], cdt)
-            g_f = g_from_rgb if g_f is None else g_f + g_from_rgb
-        if st.use_feat:
-            _acc("feat_w", _dot(o["xyzf"].T, g_f, cdt))
-            _acc("feat_b", g_f.sum(axis=0))
-            g_xyzf = g_xyzf + _dot(g_f, headsT["feat_w"], cdt)
-        if st.use_cand:
+            o = os_[j]
+            g_us[j] = g_rgb * (o["rgb"] * (1.0 - o["rgb"])).astype(
+                jnp.float32
+            )
+        for j in js:
+            _acc("rgb2_w", _dot(os_[j]["rgbh"].T, g_us[j], cdt))
+            _acc("rgb2_b", g_us[j].sum(axis=0))
+        for j in js:
+            g_rgbhs[j] = (
+                _dot(g_us[j], headsT["rgb2_w"], cdt) * _pos(os_[j]["rgbh"])
+            )
+        for j in js:
+            _acc("rgb1_w", _dot(os_[j]["feat"].T, g_rgbhs[j], cdt))
+        for j, g0 in enumerate(g0s):
+            dcond_ref[g0:g0 + G, :] = (
+                g_rgbhs[j].reshape(G, S, -1).sum(axis=1)
+            )
+        for j in js:
+            g_from_rgb = _dot(g_rgbhs[j], headsT["rgb1_w"], cdt)
+            g_fs[j] = (
+                g_from_rgb if g_fs[j] is None else g_fs[j] + g_from_rgb
+            )
+    if st.use_feat:
+        for j in js:
+            _acc("feat_w", _dot(os_[j]["xyzf"].T, g_fs[j], cdt))
+            _acc("feat_b", g_fs[j].sum(axis=0))
+        for j in js:
+            g_xyzfs[j] = g_xyzfs[j] + _dot(g_fs[j], headsT["feat_w"], cdt)
+    if st.use_cand:
+        g_cfs, g_h2s, g_h1s = [None] * n, [None] * n, [None] * n
+        for j, g0 in enumerate(g0s):
             if st.out_feat:
-                g_cf = (
-                    cg[g0:g0 + G][:, :, None] * g_feat[g0:g0 + G][:, None, :]
+                g_cfs[j] = (
+                    cg[g0:g0 + G][:, :, None]
+                    * g_feat[g0:g0 + G][:, None, :]
                 ).reshape(M, -1)
             else:
-                g_cf = jnp.zeros((M, heads["cfeat_w"].shape[1]), jnp.float32)
-            _acc("cfeat_w", _dot(o["h2"].T, g_cf, cdt))
-            _acc("cfeat_b", g_cf.sum(axis=0))
-            g_h2 = _dot(g_cf, headsT["cfeat_w"], cdt)
+                g_cfs[j] = jnp.zeros(
+                    (M, heads["cfeat_w"].shape[1]), jnp.float32
+                )
+        for j in js:
+            _acc("cfeat_w", _dot(os_[j]["h2"].T, g_cfs[j], cdt))
+            _acc("cfeat_b", g_cfs[j].sum(axis=0))
+        for j in js:
+            g_h2s[j] = _dot(g_cfs[j], headsT["cfeat_w"], cdt)
+        for j, g0 in enumerate(g0s):
             g_cpre_g = g_cpre[g0:g0 + G, :]  # (G, S)
             g_cpre_ext = _lane0(g_cpre_g)
-            _acc("csig_w", _dot(o["h2"].T, g_cpre_ext, cdt)[:, :1])
+            _acc("csig_w", _dot(os_[j]["h2"].T, g_cpre_ext, cdt)[:, :1])
             _acc("csig_b", g_cpre_ext.sum(axis=0)[:1])
-            g_h2 = g_h2 + (
+            g_h2s[j] = g_h2s[j] + (
                 g_cpre_g[:, :, None]
                 * headsT["csig_w"].reshape(1, 1, -1)
             ).reshape(M, -1)
-            g_h2 = g_h2 * _pos(o["h2"])
-            _acc("c2_w", _dot(o["h1"].T, g_h2, cdt))
-            _acc("c2_b", g_h2.sum(axis=0))
-            g_h1 = _dot(g_h2, headsT["c2_w"], cdt) * _pos(o["h1"])
-            _acc("c1x_w", _dot(o["xyzf"].T, g_h1, cdt))
-            _acc("c1_b", g_h1.sum(axis=0))
-            ray_g1 = g_h1.reshape(G, S, -1).sum(axis=1)  # (G, Hc)
-            _acc("c1c_w", _dot(cemb_g.T, ray_g1, cdt))
+        for j in js:
+            g_h2s[j] = g_h2s[j] * _pos(os_[j]["h2"])
+        for j in js:
+            _acc("c2_w", _dot(os_[j]["h1"].T, g_h2s[j], cdt))
+            _acc("c2_b", g_h2s[j].sum(axis=0))
+        for j in js:
+            g_h1s[j] = (
+                _dot(g_h2s[j], headsT["c2_w"], cdt) * _pos(os_[j]["h1"])
+            )
+        for j in js:
+            _acc("c1x_w", _dot(os_[j]["xyzf"].T, g_h1s[j], cdt))
+            _acc("c1_b", g_h1s[j].sum(axis=0))
+        for j, g0 in enumerate(g0s):
+            ray_g1 = g_h1s[j].reshape(G, S, -1).sum(axis=1)  # (G, Hc)
+            _acc("c1c_w", _dot(cemb_gs[j].T, ray_g1, cdt))
             dcemb_ref[g0:g0 + G, :] = _dot(ray_g1, headsT["c1c_w"], cdt)
-            g_xyzf = g_xyzf + _dot(g_h1, headsT["c1x_w"], cdt)
+        for j in js:
+            g_xyzfs[j] = g_xyzfs[j] + _dot(g_h1s[j], headsT["c1x_w"], cdt)
 
+    g_hs = [None] * n
+    for j, g0 in enumerate(g0s):
         g_spre_g = g_spre[g0:g0 + G, :]  # (G, S)
         g_spre_ext = _lane0(g_spre_g)
-        _acc("sigma_w", _dot(h.T, g_spre_ext, cdt)[:, :1])
+        _acc("sigma_w", _dot(hs[j].T, g_spre_ext, cdt)[:, :1])
         _acc("sigma_b", g_spre_ext.sum(axis=0)[:1])
-        _acc("xyzf_w", _dot(h.T, g_xyzf, cdt))
-        _acc("xyzf_b", g_xyzf.sum(axis=0))
-        g_h = (
+        _acc("xyzf_w", _dot(hs[j].T, g_xyzfs[j], cdt))
+        _acc("xyzf_b", g_xyzfs[j].sum(axis=0))
+        g_hs[j] = (
             g_spre_g[:, :, None] * headsT["sigma_w"].reshape(1, 1, -1)
         ).reshape(M, -1)
-        g_h = g_h + _dot(g_xyzf, headsT["xyzf_w"], cdt)
+    for j in js:
+        g_hs[j] = g_hs[j] + _dot(g_xyzfs[j], headsT["xyzf_w"], cdt)
 
-        # trunk reverse walk
-        g = g_h
-        dx0 = jnp.zeros((M, in0), jnp.float32)
-        for i in reversed(range(st.D)):
-            g = g * _pos(acts[i])
-            _acc(f"trunk{i}_w", _trunk_dot(inputs[i].T, g, cdt, st.trunk_3x))
-            _acc(f"trunk{i}_b", g.sum(axis=0))
-            g_in = _trunk_dot(g, trunkT[i], cdt, st.trunk_3x)
+    # trunk reverse walk (layer-major across subgroups)
+    gs = list(g_hs)
+    dx0s = [jnp.zeros((M, in0), jnp.float32) for _ in js]
+    for i in reversed(range(st.D)):
+        for j in js:
+            gs[j] = gs[j] * _pos(actss[j][i])
+            _acc(
+                f"trunk{i}_w",
+                _trunk_dot(inputss[j][i].T, gs[j], cdt, st.trunk_3x),
+            )
+            _acc(f"trunk{i}_b", gs[j].sum(axis=0))
+            g_in = _trunk_dot(gs[j], trunkT[i], cdt, st.trunk_3x)
             if i in st.skips and i > 0:
-                dx0 = dx0 + g_in[:, :in0]
-                g = g_in[:, in0:]
+                dx0s[j] = dx0s[j] + g_in[:, :in0]
+                gs[j] = g_in[:, in0:]
             elif i == 0:
-                dx0 = dx0 + g_in
+                dx0s[j] = dx0s[j] + g_in
             else:
-                g = g_in
+                gs[j] = g_in
+    for j, g0 in enumerate(g0s):
         if st.xyz_L:
             d_o_g, d_d_g = _pe_backward(
-                dx0, pe_cache, z[g0:g0 + G, :], st.xyz_L
+                dx0s[j], pe_caches[j], z[g0:g0 + G, :], st.xyz_L
             )
             do_ref[g0:g0 + G, :] = d_o_g
             dd_ref[g0:g0 + G, :] = d_d_g
         else:
-            dx_ref[r0:r1, :] = dx0
+            dx_ref[g0 * S:(g0 + G) * S, :] = dx0s[j]
 
     @pl.when(step == 0)
     def _init():
