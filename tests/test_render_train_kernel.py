@@ -76,8 +76,10 @@ COMBOS = [
 
 @pytest.mark.parametrize("use_cand,use_rgb,out_feat", COMBOS)
 class TestForwardParity:
-    def test_outputs_match_xla_twin(self, use_cand, use_rgb, out_feat):
-        st = make_static(use_cand, use_rgb, out_feat)
+    @pytest.mark.parametrize("save_chain", [False, True])
+    def test_outputs_match_xla_twin(self, use_cand, use_rgb, out_feat,
+                                    save_chain):
+        st = make_static(use_cand, use_rgb, out_feat, save_chain)
         args = make_args(st)
         got = rt.fused_render_train(*args, st)
         want = rt.xla_render_train(*args, st)
@@ -86,6 +88,66 @@ class TestForwardParity:
             np.testing.assert_allclose(
                 np.asarray(got[k]), np.asarray(want[k]), rtol=2e-5,
                 atol=2e-5, err_msg=k,
+            )
+
+
+class TestMultiSubgroup:
+    """The stage-major multi-subgroup path (G < ray_tile) — tiny default
+    shapes give G == ray_tile, so force it with a 1 MB subgroup budget at
+    S large enough to split the tile (upnerf.ops.pallas_render_train
+    _group_rows)."""
+
+    S_BIG = 64
+
+    def _args(self, st, seed=21):
+        rng = np.random.RandomState(seed)
+
+        def arr(*shape, scale=0.4):
+            return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+        x0 = arr(R * self.S_BIG, IN0)
+        z = jnp.sort(
+            jnp.asarray(
+                rng.rand(R, self.S_BIG).astype(np.float32) * 4 + 0.1
+            ), -1,
+        )
+        _, _, ray_cond, c_emb, trunk, heads = make_args(st, seed=seed)
+        return x0, z, ray_cond, c_emb, trunk, heads
+
+    @pytest.mark.parametrize("save_chain", [False, True])
+    def test_split_tile_matches_single_subgroup(self, save_chain):
+        st = make_static(True, True, True, save_chain)
+        st_multi = st._replace(group_budget_mb=1)
+        from upnerf.ops.pallas_render_train import _group_rows
+        G1 = _group_rows(st, self.S_BIG, IN0, W, F)
+        Gn = _group_rows(st_multi, self.S_BIG, IN0, W, F)
+        assert Gn < G1, (Gn, G1)  # the multi path is actually exercised
+
+        args = self._args(st)
+        rng = np.random.RandomState(9)
+        ref_out = rt.xla_render_train(*args, st)
+        cots = {
+            k: jnp.asarray(rng.randn(*np.shape(v)).astype(np.float32))
+            for k, v in ref_out.items()
+        }
+
+        def loss(fn, st_):
+            def f(x0_, trunk_, heads_):
+                out = fn(x0_, args[1], args[2], args[3], trunk_, heads_, st_)
+                return sum((out[k] * cots[k]).sum() for k in out)
+            return f
+
+        g1 = jax.grad(loss(rt.fused_render_train, st), argnums=(0, 1, 2))(
+            args[0], args[4], args[5]
+        )
+        gn = jax.grad(
+            loss(rt.fused_render_train, st_multi), argnums=(0, 1, 2)
+        )(args[0], args[4], args[5])
+        for a, b in zip(jax.tree.leaves(gn), jax.tree.leaves(g1)):
+            scale = max(1e-3, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale,
+                rtol=5e-5, atol=5e-6,
             )
 
 
