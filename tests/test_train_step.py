@@ -200,6 +200,81 @@ class TestShardMapFused:
         )
 
 
+class TestShardedEvalRender:
+    """Mesh-sharded full-image render (the val / TTO-eval path): the
+    interior of every fixed-size chunk is split across the data axis under
+    shard_map. The render is deterministic with no cross-ray reduction, so
+    sharded output must match the single-device renderer exactly."""
+
+    def _eval_batch(self, store, n):
+        return {
+            "px": jnp.asarray(np.asarray(store.px[:n]), jnp.float32),
+            "py": jnp.asarray(np.asarray(store.py[:n]), jnp.float32),
+            "img_idx": jnp.asarray(np.asarray(store.img_idx[:n]), jnp.int32),
+            "inv_depth": jnp.asarray(
+                np.asarray(store.inv_depth[:n]), jnp.float32
+            ),
+        }
+
+    @pytest.mark.parametrize("phase", [0, 1, 2])
+    def test_matches_single_device(self, setup, phase):
+        from upnerf.train import make_eval_render
+
+        cfg, scene, store, state, _, _ = setup
+        mesh = make_mesh()
+        rsh = replicated_sharding(mesh)
+        batch = self._eval_batch(store, 128)  # 2 chunks x 8 rays/device
+        render_ref = make_eval_render(cfg, chunk_size=64)
+        render_sh = make_eval_render(cfg, chunk_size=64, mesh=mesh)
+        prog = jnp.asarray(0.3, jnp.float32)
+        out_ref = render_ref(
+            state.params, state.pose_params, scene, batch, prog, phase
+        )
+        out_sh = render_sh(
+            jax.tree.map(lambda x: jax.device_put(x, rsh), state.params),
+            jax.tree.map(lambda x: jax.device_put(x, rsh), state.pose_params),
+            jax.tree.map(lambda x: jax.device_put(x, rsh), scene),
+            batch, prog, phase,
+        )
+        assert set(out_ref) == set(out_sh)
+        for k in out_ref:
+            np.testing.assert_allclose(
+                np.asarray(out_sh[k]), np.asarray(out_ref[k]),
+                atol=1e-5, err_msg=k,
+            )
+
+    def test_fused_kernels_shard(self, setup, monkeypatch):
+        """The fused Pallas render path (no GSPMD partitioning rule) through
+        the sharded eval renderer — interpret mode on the CPU mesh — vs the
+        single-device XLA renderer."""
+        from upnerf.ops import pallas_render_train as rt
+        from upnerf.train import make_eval_render
+
+        monkeypatch.setattr(rt, "INTERPRET", True)
+        base, scene, store, state, _, _ = setup
+        cfg = base._replace(render=base.render._replace(fused_train=True))
+        mesh = make_mesh()
+        rsh = replicated_sharding(mesh)
+        batch = self._eval_batch(store, 128)
+        render_ref = make_eval_render(base, chunk_size=64)
+        render_sh = make_eval_render(cfg, chunk_size=64, mesh=mesh)
+        prog = jnp.asarray(0.3, jnp.float32)
+        out_ref = render_ref(
+            state.params, state.pose_params, scene, batch, prog, 1
+        )
+        out_sh = render_sh(
+            jax.tree.map(lambda x: jax.device_put(x, rsh), state.params),
+            jax.tree.map(lambda x: jax.device_put(x, rsh), state.pose_params),
+            jax.tree.map(lambda x: jax.device_put(x, rsh), scene),
+            batch, prog, 1,
+        )
+        for k in ("rgb_fine", "s_rgb_fine", "s_depth_fine"):
+            np.testing.assert_allclose(
+                np.asarray(out_sh[k]), np.asarray(out_ref[k]),
+                atol=1e-3, err_msg=k,
+            )
+
+
 class TestDeterminism:
     def test_state_key_stream_is_deterministic_and_resumable(self, setup):
         """Stepping twice from s0 must equal: step once, round-trip the

@@ -137,7 +137,16 @@ class Trainer:
             self.cfg, self.optimizer, self.pose_optimizer, donate=donate,
             mesh=self.mesh if len(self.mesh.devices.ravel()) > 1 else None,
         )
-        self.eval_render = make_eval_render(self.cfg, hp["val.chunk_size"])
+        n_dev = len(self.mesh.devices.ravel())
+        # Val renders shard across the mesh too (chunk interiors split over
+        # the data axis) whenever the chunk divides evenly; otherwise fall
+        # back to single-device rendering rather than fail.
+        self.eval_render = make_eval_render(
+            self.cfg, hp["val.chunk_size"],
+            mesh=self.mesh
+            if n_dev > 1 and hp["val.chunk_size"] % n_dev == 0
+            else None,
+        )
 
         # experiment dir + ckpt/logging (train.py:29-49)
         self.save_dir = os.path.join(

@@ -403,14 +403,28 @@ def make_train_step(
     )
 
 
-def make_eval_render(cfg: StepConfig, chunk_size: int = 4096):
+def make_eval_render(cfg: StepConfig, chunk_size: int = 4096, mesh=None):
     """Full-image renderer: fixed-size chunks via lax.map inside one jit
     (mirrors val chunking, models/nerf_system.py:104-110). The caller pads
     the pixel set to a chunk multiple; masking is the caller's concern.
 
     Signature: render(params, pose_params, scene, batch, phase) -> results
     where batch holds (px, py, img_idx) padded to a multiple of chunk_size.
+
+    With ``mesh``, the interior of every chunk is split across the mesh's
+    data axis under ``jax.shard_map`` (params/scene replicated, each device
+    rendering ``chunk_size // n_dev`` rays per chunk — including through
+    the fused Pallas kernels, which have no GSPMD partitioning rule; same
+    treatment as the train step). The render is deterministic and rays are
+    independent, so the sharded result is bit-identical to single-device
+    modulo nothing — there is no cross-ray reduction. The caller's padding
+    contract (multiple of chunk_size) is unchanged.
     """
+    if mesh is not None:
+        from upnerf.parallel import DATA_AXIS
+
+        n_dev = mesh.devices.size
+        assert chunk_size % n_dev == 0, (chunk_size, n_dev)
 
     def render_fn(
         params: Dict[str, Any],
@@ -429,7 +443,7 @@ def make_eval_render(cfg: StepConfig, chunk_size: int = 4096):
             lambda x: x.reshape(n_chunks, chunk_size, *x.shape[1:]), batch
         )
 
-        def one_chunk(b):
+        def one_chunk(params, pose_params, scene, sched, progress, b):
             results, _, feats = forward(
                 params, pose_params, cfg, scene, b, None,
                 phase=phase, sched_mult=sched, progress=progress, det=True,
@@ -439,7 +453,31 @@ def make_eval_render(cfg: StepConfig, chunk_size: int = 4096):
             results["pred_depth"] = depth_prior(pose_params, b, cfg.near, cfg.far)
             return results
 
-        out = jax.lax.map(one_chunk, chunked)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            def per_shard(params, pose_params, scene, sched, progress, ch):
+                return jax.lax.map(
+                    lambda b: one_chunk(
+                        params, pose_params, scene, sched, progress, b
+                    ),
+                    ch,
+                )
+
+            out = jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
+                out_specs=P(None, DATA_AXIS),
+                check_vma=False,  # pallas_call has no vma rule
+            )(params, pose_params, scene, sched, progress, chunked)
+        else:
+            out = jax.lax.map(
+                lambda b: one_chunk(
+                    params, pose_params, scene, sched, progress, b
+                ),
+                chunked,
+            )
         return jax.tree.map(lambda x: x.reshape(n, *x.shape[2:]), out)
 
     return jax.jit(render_fn, static_argnames=("phase",))
