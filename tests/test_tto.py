@@ -169,3 +169,120 @@ class TestRunnerCompilesOnce:
                          jax.random.PRNGKey(2), log=silent)
         for fn in (runner.step_A, runner.step_B, runner.eval_A, runner.eval_B):
             assert fn._cache_size() == 1, fn
+
+
+class TestShardedTTO:
+    """Mesh-sharded TTO: per-image ray batches and eval chunk interiors
+    split across the data axis; must match the single-device programs
+    (pixel coords + render uniforms are drawn at global shape and
+    sharded, so the step is numerically identical up to reduction
+    order)."""
+
+    def _setup(self, fused=False):
+        nerf_cfg = NeRFConfig(
+            D=2, W=32, skips=(1,), feat_dim=8, xyz_L=4, dir_L=2,
+            appearance_dim=8, candidate_dim=4, c2f=None,
+        )
+        cfg = TTOConfig(
+            nerf=nerf_cfg,
+            render=RenderConfig(
+                N_samples=8, N_importance=4, perturb=1.0,
+                precision="float32", fused_train=fused,
+            ),
+            batch_size=64,
+            pose_epochs=1,
+            appearance_epochs=1,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        frozen = {
+            "nerf_coarse": init_nerf(ks[0], nerf_cfg),
+            "nerf_fine": init_nerf(ks[1], nerf_cfg),
+            "embeddings": {
+                "coarse_a": jax.random.normal(ks[2], (3, 8)),
+                "fine_a": jax.random.normal(ks[3], (3, 8)),
+                "coarse_c": jax.random.normal(ks[4], (3, 4)),
+                "fine_c": jax.random.normal(ks[5], (3, 4)),
+            },
+        }
+        G, H, W = 2, 12, 16
+        Ks = np.zeros((G, 3, 3), np.float32)
+        Ks[:, 0, 0] = Ks[:, 1, 1] = 15.0
+        Ks[:, 0, 2] = W / 2
+        Ks[:, 1, 2] = H / 2
+        Ks[:, 2, 2] = 1
+        rng = np.random.RandomState(0)
+        group = TTOGroup(
+            Ks=jnp.asarray(Ks),
+            base_poses=jnp.broadcast_to(jnp.eye(3, 4), (G, 3, 4)),
+            rgbs=jnp.asarray(rng.randint(0, 255, (G, H, W, 3)), jnp.uint8),
+            wh=jnp.asarray([[W, H]] * G, jnp.int32),
+            near_far=jnp.tile(jnp.array([[0.5, 4.0]]), (G, 1)),
+        )
+        return cfg, frozen, group
+
+    def test_sharded_step_matches_single_device(self):
+        import optax
+
+        from upnerf.evaluate.tto import make_tto_step
+        from upnerf.parallel import make_mesh
+
+        cfg, frozen, group = self._setup()
+        mesh = make_mesh()
+        opt = optax.adam(1e-3)
+        step_ref = make_tto_step(
+            frozen, cfg, opt, optimize_pose=True, x_frac=(0.0, 1.0)
+        )
+        step_sh = make_tto_step(
+            frozen, cfg, opt, optimize_pose=True, x_frac=(0.0, 1.0),
+            mesh=mesh,
+        )
+        t0 = {"fine_a": jnp.zeros((2, 8)), "se3": jnp.zeros((2, 6))}
+        key = jax.random.PRNGKey(3)
+        t_a, os_a, loss_a = step_ref(t0, opt.init(t0), group, key)
+        t_b, os_b, loss_b = step_sh(t0, opt.init(t0), group, key)
+        np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+        for x, y in zip(jax.tree.leaves(t_a), jax.tree.leaves(t_b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+    def test_sharded_eval_matches_single_device(self):
+        from upnerf.evaluate.tto import make_tto_eval
+        from upnerf.parallel import make_mesh
+
+        cfg, frozen, group = self._setup()
+        mesh = make_mesh()
+        eval_ref = make_tto_eval(frozen, cfg, x_frac=(0.5, 1.0), chunk=64)
+        eval_sh = make_tto_eval(
+            frozen, cfg, x_frac=(0.5, 1.0), chunk=64, mesh=mesh
+        )
+        t = {"fine_a": jnp.ones((2, 8)) * 0.1, "se3": jnp.zeros((2, 6))}
+        p_a, g_a = eval_ref(t, group, 16, 8)
+        p_b, g_b = eval_sh(t, group, 16, 8)
+        np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_a), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(g_b), np.asarray(g_a))
+
+    def test_fused_kernels_shard_in_tto_step(self, monkeypatch):
+        """TTO's phase-2 render through the fused Pallas path under the
+        mesh (interpret mode) vs the single-device XLA path."""
+        import optax
+
+        from upnerf.evaluate.tto import make_tto_step
+        from upnerf.ops import pallas_render_train as rt
+        from upnerf.parallel import make_mesh
+
+        monkeypatch.setattr(rt, "INTERPRET", True)
+        cfg_x, frozen, group = self._setup(fused=False)
+        cfg_f, _, _ = self._setup(fused=True)
+        mesh = make_mesh()
+        opt = optax.adam(1e-3)
+        step_ref = make_tto_step(
+            frozen, cfg_x, opt, optimize_pose=True, x_frac=(0.0, 1.0)
+        )
+        step_sh = make_tto_step(
+            frozen, cfg_f, opt, optimize_pose=True, x_frac=(0.0, 1.0),
+            mesh=mesh,
+        )
+        t0 = {"fine_a": jnp.zeros((2, 8)), "se3": jnp.zeros((2, 6))}
+        key = jax.random.PRNGKey(3)
+        _, _, loss_a = step_ref(t0, opt.init(t0), group, key)
+        _, _, loss_b = step_sh(t0, opt.init(t0), group, key)
+        np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=2e-4)

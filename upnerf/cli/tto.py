@@ -125,10 +125,19 @@ def main(args) -> None:
         ],
         np.int64,
     )
+    # TTO shards across the mesh too (rays within each image's batch /
+    # chunk interiors) whenever the sizes divide evenly.
+    n_dev = jax.device_count()
+    mesh = None
+    if n_dev > 1 and cfg.batch_size % n_dev == 0 and 4096 % n_dev == 0:
+        from upnerf.parallel import make_mesh
+
+        mesh = make_mesh(n_dev)
     runner = TTORunner(
         frozen, cfg, hparams["nerf.appearance_dim"],
         region_A=tto_region_size(all_wh, (0.0, 1.0)),
         region_B=tto_region_size(all_wh, (0.5, 1.0)),
+        mesh=mesh,
     )
     Hm_img = -(-int(all_wh[:, 1].max()) // 64) * 64
     Wm_img = -(-int(all_wh[:, 0].max()) // 64) * 64

@@ -118,6 +118,7 @@ def _render_group_rays(
     py: jnp.ndarray,  # (G, B)
     key,
     det: bool,
+    noise=None,  # optional pre-drawn uniforms {coarse/fine: (G*B, N)}
 ):
     """Render (G*B) rays with refined poses; returns (pred_rgb, gt_rgb)."""
     G, B = px.shape
@@ -151,10 +152,25 @@ def _render_group_rays(
         params, cfg.render, cfg.nerf, rays, img_idx,
         key=key, phase=2, sched_mult=jnp.asarray(1.0),
         progress=jnp.asarray(1.0), encode_candidate=False, det=det,
+        noise=noise,
     )
     gt = group.rgbs[img_idx, py.reshape(-1).astype(jnp.int32),
                     px.reshape(-1).astype(jnp.int32)].astype(jnp.float32) / 255.0
     return out["s_rgb_fine"], gt
+
+
+def _draw_render_noise(key, rcfg: RenderConfig, G: int, B: int):
+    """Per-ray render uniforms at GLOBAL (G, B, N) shape — drawn once and
+    sharded along B under a mesh, so the sharded TTO step is numerically
+    identical to the single-device step (same discipline as the train
+    step, upnerf/train/step.py)."""
+    kc, kf = jax.random.split(key)
+    noise = {}
+    if rcfg.perturb > 0:
+        noise["coarse"] = jax.random.uniform(kc, (G, B, rcfg.N_samples))
+    if rcfg.N_importance > 0:
+        noise["fine"] = jax.random.uniform(kf, (G, B, rcfg.N_importance))
+    return noise
 
 
 def make_tto_step(
@@ -164,28 +180,68 @@ def make_tto_step(
     *,
     optimize_pose: bool,
     x_frac: Tuple[float, float],
+    mesh=None,
 ):
     """Jitted TTO step over a group. trainables = {"fine_a": (G, A)[,
     "se3": (G, 6)]}. Per-image mean loss (mirrors the per-image MSE of
-    models/nerf_system_optmize.py:129)."""
+    models/nerf_system_optmize.py:129).
 
-    def loss_fn(trainables, group, key):
-        k_pix, k_render = jax.random.split(key)
-        px, py = _sample_pixels(k_pix, group.wh, x_frac, cfg.batch_size)
+    With ``mesh``, each image's B-ray batch is split across the mesh's
+    data axis under ``jax.shard_map`` (trainables/group replicated; the
+    fused Pallas kernels have no GSPMD rule — same treatment as the train
+    step) and the loss/grads are combined with a psum-mean. Pixel coords
+    and render uniforms are drawn at global shape and sharded, so the
+    sharded step matches the single-device step up to reduction order."""
+    if mesh is not None:
+        from upnerf.parallel import DATA_AXIS
+
+        n_dev = mesh.devices.size
+        assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
+
+    def loss_fn(trainables, group, px, py, noise):
         se3_delta = (
             trainables["se3"]
             if optimize_pose
             else jnp.zeros((group.Ks.shape[0], 6))
         )
+        flat = {k: v.reshape(-1, v.shape[-1]) for k, v in noise.items()}
         pred, gt = _render_group_rays(
             frozen_params, trainables["fine_a"], se3_delta, cfg, group,
-            px, py, k_render, det=False,
+            px, py, None, det=False, noise=flat or None,
         )
         return ((pred - gt) ** 2).mean()
 
+    def _loss_and_grads(trainables, group, px, py, noise):
+        return jax.value_and_grad(loss_fn)(trainables, group, px, py, noise)
+
     @jax.jit
     def step(trainables, opt_state, group, key):
-        loss, grads = jax.value_and_grad(loss_fn)(trainables, group, key)
+        k_pix, k_render = jax.random.split(key)
+        px, py = _sample_pixels(k_pix, group.wh, x_frac, cfg.batch_size)
+        noise = _draw_render_noise(k_render, cfg.render, *px.shape)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            def per_shard(trainables, group, px, py, noise):
+                # equal-sized shards -> pmean of the local means/grads
+                # equals the global-batch loss/grads
+                return jax.lax.pmean(
+                    _loss_and_grads(trainables, group, px, py, noise),
+                    DATA_AXIS,
+                )
+
+            loss, grads = jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                    P(None, DATA_AXIS),
+                ),
+                out_specs=P(),
+                check_vma=False,  # pallas_call has no vma rule
+            )(trainables, group, px, py, noise)
+        else:
+            loss, grads = _loss_and_grads(trainables, group, px, py, noise)
         updates, opt_state = optimizer.update(grads, opt_state, trainables)
         trainables = optax.apply_updates(trainables, updates)
         return trainables, opt_state, loss
@@ -199,10 +255,21 @@ def make_tto_eval(
     *,
     x_frac: Tuple[float, float],
     chunk: int = 4096,
+    mesh=None,
 ):
     """Full-region render for each image of a group (padded grid, masked).
 
-    Returns arrays (G, Hm, Wm, 3) prediction and a validity mask."""
+    Returns arrays (G, Hm, Wm, 3) prediction and a validity mask.
+
+    With ``mesh``, the interior of every chunk splits across the mesh's
+    data axis under ``jax.shard_map`` (deterministic per-ray render, no
+    cross-ray reduction — bit-identical to single-device; same treatment
+    as upnerf.train.step.make_eval_render)."""
+    if mesh is not None:
+        from upnerf.parallel import DATA_AXIS
+
+        n_dev = mesh.devices.size
+        assert chunk % n_dev == 0, (chunk, n_dev)
 
     @functools.partial(jax.jit, static_argnames=("Hm", "Wm"))
     def render_full(trainables, group, Hm: int, Wm: int):
@@ -224,20 +291,43 @@ def make_tto_eval(
 
         n = Hm * Wm
         pad = (-n) % chunk
-        pxp = jnp.pad(px1, ((0, 0), (0, pad)))
-        pyp = jnp.pad(py1, ((0, 0), (0, pad)))
         n_chunks = (n + pad) // chunk
+        # (n_chunks, G, chunk): lax.map over chunks; under a mesh the
+        # trailing (intra-chunk) axis is the sharded one.
+        pxc = jnp.pad(px1, ((0, 0), (0, pad))).reshape(
+            G, n_chunks, chunk
+        ).transpose(1, 0, 2)
+        pyc = jnp.pad(py1, ((0, 0), (0, pad))).reshape(
+            G, n_chunks, chunk
+        ).transpose(1, 0, 2)
 
-        def one_chunk(c):
-            px_c = jax.lax.dynamic_slice_in_dim(pxp, c * chunk, chunk, 1)
-            py_c = jax.lax.dynamic_slice_in_dim(pyp, c * chunk, chunk, 1)
-            pred, gt = _render_group_rays(
-                frozen_params, trainables["fine_a"], se3_delta, cfg, group,
-                px_c, py_c, None, det=True,
-            )
-            return pred.reshape(G, chunk, 3), gt.reshape(G, chunk, 3)
+        def chunk_loop(trainables, group, se3_delta, pxc, pyc):
+            def one_chunk(args):
+                px_c, py_c = args
+                C = px_c.shape[1]
+                pred, gt = _render_group_rays(
+                    frozen_params, trainables["fine_a"], se3_delta, cfg,
+                    group, px_c, py_c, None, det=True,
+                )
+                return pred.reshape(G, C, 3), gt.reshape(G, C, 3)
 
-        preds, gts = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+            return jax.lax.map(one_chunk, (pxc, pyc))
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            preds, gts = jax.shard_map(
+                chunk_loop,
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P(),
+                    P(None, None, DATA_AXIS), P(None, None, DATA_AXIS),
+                ),
+                out_specs=P(None, None, DATA_AXIS),
+                check_vma=False,  # pallas_call has no vma rule
+            )(trainables, group, se3_delta, pxc, pyc)
+        else:
+            preds, gts = chunk_loop(trainables, group, se3_delta, pxc, pyc)
         preds = jnp.moveaxis(preds, 0, 1).reshape(G, -1, 3)[:, :n]
         gts = jnp.moveaxis(gts, 0, 1).reshape(G, -1, 3)[:, :n]
         return preds.reshape(G, Hm, Wm, 3), gts.reshape(G, Hm, Wm, 3)
@@ -280,6 +370,7 @@ class TTORunner:
         appearance_dim: int,
         region_A: Tuple[int, int],
         region_B: Tuple[int, int],
+        mesh=None,
     ):
         self.frozen = frozen_params
         self.cfg = cfg
@@ -296,14 +387,18 @@ class TTORunner:
         self.opt_B = optax.adamw(cfg.lr_emb_appearance)
         self.step_A = make_tto_step(
             frozen_params, cfg, self.opt_A, optimize_pose=True,
-            x_frac=(0.0, 1.0),
+            x_frac=(0.0, 1.0), mesh=mesh,
         )
         self.step_B = make_tto_step(
             frozen_params, cfg, self.opt_B, optimize_pose=False,
-            x_frac=(0.0, 0.5),
+            x_frac=(0.0, 0.5), mesh=mesh,
         )
-        self.eval_A = make_tto_eval(frozen_params, cfg, x_frac=(0.0, 1.0))
-        self.eval_B = make_tto_eval(frozen_params, cfg, x_frac=(0.5, 1.0))
+        self.eval_A = make_tto_eval(
+            frozen_params, cfg, x_frac=(0.0, 1.0), mesh=mesh
+        )
+        self.eval_B = make_tto_eval(
+            frozen_params, cfg, x_frac=(0.5, 1.0), mesh=mesh
+        )
 
     def run_group(
         self, group: TTOGroup, key: jax.Array, lpips=None, log=print
