@@ -119,3 +119,40 @@ def test_grads_match_xla(phase):
             np.asarray(y) / scale, np.asarray(x) / scale, rtol=1e-3,
             atol=1e-4,
         )
+
+
+def test_det_phase2_routes_through_train_kernel():
+    """Forward-only (det) phase-2 renders — the val / TTO-eval path — route
+    through the training mega-kernel's forward when fused_train is on
+    (render_rays._inference branch order) and match the XLA det path."""
+    params = make_params()
+    rays, idx = make_rays()
+
+    def det_render(cfg):
+        return render_rays(
+            params, cfg, CFG, rays, idx, key=None, phase=2,
+            sched_mult=jnp.asarray(1.0), progress=jnp.asarray(1.0),
+            encode_candidate=False, det=True,
+        )
+
+    calls = []
+    orig = rt.fused_render_train_rays
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    # _fused_train_path imports the symbol inside the function body, so
+    # patching the module attribute is enough.
+    import unittest.mock as mock
+
+    with mock.patch.object(rt, "fused_render_train_rays", side_effect=spy):
+        b = det_render(RCFG_FUSED)
+    assert calls, "det phase-2 did not route through the training kernel"
+    a = det_render(RCFG_XLA)
+    assert set(a) == set(b), (set(a) ^ set(b))
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), rtol=3e-5, atol=3e-5,
+            err_msg=k,
+        )

@@ -113,23 +113,35 @@ def _inference(
     R, S = z_vals.shape
     precision, remat = rcfg.precision, rcfg.remat
     use_candidate = nerf_cfg.encode_candidate and encode_candidate and phase < 2
-    # The mega-kernel pays for itself on FORWARD-ONLY renders (val / TTO
-    # eval / video): its VJP replays the XLA graph, so a training step
-    # through it would compute the forward twice (measured slower). `det`
-    # marks exactly the no-grad eval paths.
+    # Forward-only (det) phase-2 renders — val / TTO eval / video. With
+    # fused_train available, the TRAINING mega-kernel's forward is the
+    # faster path: its in-kernel rays/PE frontend keeps the (R*S, 3+6L) PE
+    # tensor out of HBM entirely, the trunk/heads run stage-major over ray
+    # subgroups, and — called outside a grad context — only the primal
+    # runs, so the save-for-backward residuals are never written
+    # (pallas_render_train._fwd_impl save_res=False: VMEM scratch only).
+    # The forward-only kernel (pallas_render) remains the fallback when
+    # only fused_render is enabled.
     if (
         phase == 2
         and det
         and not use_candidate
         and nerf_cfg.encode_feat
         and nerf_cfg.encode_appearance
-        and rcfg.fused_render
+        and (rcfg.fused_render or rcfg.fused_train)
         and R % 8 == 0
     ):
-        _fused_static_path(
-            results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d, a_emb,
-            progress=progress, precision=precision,
-        )
+        if rcfg.fused_train and rays_o is not None:
+            _fused_train_path(
+                results, nerf_params, nerf_cfg, typ, rays_o, z_vals, rays_d,
+                a_emb, c_emb, phase=phase, progress=progress,
+                rcfg=rcfg, use_candidate=False,
+            )
+        else:
+            _fused_static_path(
+                results, nerf_params, nerf_cfg, typ, xyz, z_vals, rays_d,
+                a_emb, progress=progress, precision=precision,
+            )
         return
 
     # Fully-fused TRAINING render: all phases, forward + backward in two
