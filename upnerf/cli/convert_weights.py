@@ -1,17 +1,33 @@
-"""Weight converters: torch checkpoints -> npz assets.
+"""Weight converters: torch checkpoints -> framework-native assets.
 
     python -m upnerf.cli.convert_weights dino <ckpt.pth> <out.npz>
     python -m upnerf.cli.convert_weights dpt <ckpt.pt> <out.npz>
     python -m upnerf.cli.convert_weights lpips <out.npz>   # needs `lpips` pkg
+    python -m upnerf.cli.convert_weights model <ref.ckpt> <result_dir> \\
+        [--config cfg.yaml]   # trained reference run -> our run directory
+
+`model` converts a TRAINED reference Lightning checkpoint (train.py ->
+`ckpts/*.ckpt`) into a run directory this repo's tto/eval/render_video
+CLIs consume directly (config.yaml + orbax ckpts/) — migration without
+retraining. See upnerf/utils/ref_ckpt.py.
 """
 
 import argparse
 
-if __name__ == "__main__":
+
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("kind", choices=["dino", "dpt", "lpips"])
+    parser.add_argument("kind", choices=["dino", "dpt", "lpips", "model"])
     parser.add_argument("args", nargs="+")
-    a = parser.parse_args()
+    parser.add_argument("--config", default=None,
+                        help="model: framework config yaml (defaults to the "
+                        "checkpoint's own hyper_parameters)")
+    a = parser.parse_args(argv)
+    if a.kind == "model":
+        from upnerf.utils.ref_ckpt import convert_reference_run
+
+        convert_reference_run(a.args[0], a.args[1], a.config)
+        return
     if a.kind == "dino":
         from upnerf.features.convert import convert_dino_vit
 
@@ -25,3 +41,7 @@ if __name__ == "__main__":
 
         convert_from_torch(a.args[0])
     print("converted.")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,9 @@ class ViTConfig(NamedTuple):
     heads: int = 6
     mlp_ratio: int = 4
     base_grid: int = 28  # pretrain grid side (224 / patch)
+    # "auto" (flash kernel on TPU above the chunk threshold, else
+    # chunked/dense XLA), or force "dense" | "chunked" | "flash".
+    attn_impl: str = "auto"
 
 
 def layer_norm(x, p, eps=1e-6):
@@ -68,16 +71,30 @@ def patch_embed(
     return y.reshape(1, gh * gw, d), (gh, gw)
 
 
-# Above this token count, attention runs query-chunked: the stride-4
+# Above this token count, dense attention is not viable: the stride-4
 # 448x448 grid gives 12,322 tokens, whose dense (H, N, N) score tensor is
-# ~3.6 GB — it OOM-pressures HBM and blows remote-compile time. Chunking
-# queries is mathematically identical (each row's softmax still spans all
-# keys) and turns the graph into one small lax.map body.
+# ~3.6 GB — it OOM-pressures HBM and blows remote-compile time. Two big-N
+# paths exist: "chunked" (query-chunked lax.map; mathematically identical
+# — each row's softmax still spans all keys) and "flash" (the Pallas
+# online-softmax kernel in upnerf/ops/pallas_attention.py, which never
+# writes scores to HBM at all). "auto" picks flash on TPU, chunked
+# elsewhere.
 ATTN_CHUNK_THRESHOLD = 4096
 ATTN_Q_CHUNK = 1024
 
 
-def attention(x: jnp.ndarray, p: Dict, heads: int, return_keys=False):
+def _resolve_attn_impl(impl: str, N: int) -> str:
+    if impl == "auto":
+        if N <= ATTN_CHUNK_THRESHOLD:
+            return "dense"
+        return (
+            "flash" if jax.default_backend() == "tpu" else "chunked"
+        )
+    return impl
+
+
+def attention(x: jnp.ndarray, p: Dict, heads: int, return_keys=False,
+              impl: str = "auto"):
     """Standard MHSA; optionally also return the pre-softmax keys
     (B, N, D) with heads concatenated — the 'key' descriptor facet."""
     B, N, D = x.shape
@@ -89,8 +106,18 @@ def attention(x: jnp.ndarray, p: Dict, heads: int, return_keys=False):
     q = jnp.swapaxes(q, 1, 2)  # (B, H, N, hd)
     k = jnp.swapaxes(k, 1, 2)
     v = jnp.swapaxes(v, 1, 2)
-    kT = jnp.swapaxes(k, -2, -1)
-    if N > ATTN_CHUNK_THRESHOLD:
+    impl = _resolve_attn_impl(impl, N)
+    if impl == "flash":
+        from upnerf.ops.pallas_attention import flash_attention
+
+        out = flash_attention(
+            q.reshape(B * heads, N, hd),
+            k.reshape(B * heads, N, hd),
+            v.reshape(B * heads, N, hd),
+            scale=scale,
+        ).reshape(B, heads, N, hd)
+    elif impl == "chunked":
+        kT = jnp.swapaxes(k, -2, -1)
         C = ATTN_Q_CHUNK
         n_pad = (-N) % C
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
@@ -104,8 +131,10 @@ def attention(x: jnp.ndarray, p: Dict, heads: int, return_keys=False):
         out = jax.lax.map(body, qc)  # (nchunk, B, H, C, hd)
         out = jnp.moveaxis(out, 0, 2).reshape(B, heads, -1, hd)[:, :, :N]
     else:
+        kT = jnp.swapaxes(k, -2, -1)
         attn = jax.nn.softmax(q @ kT * scale, -1)
         out = attn @ v  # (B, H, N, hd)
+    out = out.astype(x.dtype)
     out = jnp.swapaxes(out, 1, 2).reshape(B, N, D)
     out = out @ p["proj"]["w"] + p["proj"]["b"]
     if return_keys:
@@ -114,12 +143,12 @@ def attention(x: jnp.ndarray, p: Dict, heads: int, return_keys=False):
     return out
 
 
-def block(x, p, heads, return_keys=False):
+def block(x, p, heads, return_keys=False, impl: str = "auto"):
     h = layer_norm(x, p["ln1"])
     if return_keys:
-        attn_out, keys = attention(h, p, heads, return_keys=True)
+        attn_out, keys = attention(h, p, heads, return_keys=True, impl=impl)
     else:
-        attn_out = attention(h, p, heads)
+        attn_out = attention(h, p, heads, impl=impl)
         keys = None
     x = x + attn_out
     h = layer_norm(x, p["ln2"])
@@ -155,10 +184,12 @@ def forward_features(
     for i in range(cfg.depth):
         p = params[f"blk{i}"]
         if key_layer is not None and i == key_layer:
-            tokens, keys = block(tokens, p, cfg.heads, return_keys=True)
+            tokens, keys = block(
+                tokens, p, cfg.heads, return_keys=True, impl=cfg.attn_impl
+            )
             out["keys"] = keys
         else:
-            tokens = block(tokens, p, cfg.heads)
+            tokens = block(tokens, p, cfg.heads, impl=cfg.attn_impl)
         if i in out_layers:
             out["layers"][i] = tokens
     out["tokens"] = layer_norm(tokens, params["ln_final"])
