@@ -220,6 +220,41 @@ class TestEndToEndMigration:
         assert (run_dir / "config.yaml").exists()
         assert os.path.isdir(run_dir / "ckpts")
 
+    def test_image_count_mismatch_raises(self, tmp_path):
+        """Tables sized for a different scene fail at CONVERT time with a
+        readable message (not a deep orbax shape error inside tto)."""
+        from upnerf.config import default as default_config
+        from upnerf.data import synthetic
+
+        scene = tmp_path / "scene"
+        synthetic.generate_scene(
+            str(scene), n_train=3, n_test=1, H=16, W=16, feat_hw=4,
+            feat_dim=CFG.feat_dim, focal=16.0,
+        )
+        sd, _ = build_ref_system_state_dict(seed=13)  # N_IMAGES=5 != 3
+        hp = default_config()
+        hp.update({
+            "dataset_name": "custom", "root_dir": str(scene),
+            "nerf.D": CFG.D, "nerf.W": CFG.W, "nerf.skips": [2],
+            "nerf.N_emb_xyz": CFG.xyz_L, "nerf.N_emb_dir": CFG.dir_L,
+            "nerf.appearance_dim": CFG.appearance_dim,
+            "nerf.candidate_dim": CFG.candidate_dim,
+            "nerf.feat_dim": CFG.feat_dim,
+            "pose.c2f": list(CFG.c2f),
+            "t_net.transient_dim": TCFG.transient_dim,
+            "t_net.feat_dim": TCFG.feat_dim,
+            "tpu.fused_trunk": False,
+        })
+        ckpt_path = tmp_path / "wrong_scene.ckpt"
+        torch.save(
+            {"state_dict": sd, "hyper_parameters": hp, "global_step": 5},
+            ckpt_path,
+        )
+        with pytest.raises(SystemExit, match="5 images.*3 train"):
+            ref_ckpt.convert_reference_run(
+                str(ckpt_path), str(tmp_path / "runX"), log=lambda *a: None
+            )
+
     def test_structure_mismatch_raises(self, tmp_path):
         from upnerf.config import default as default_config
 

@@ -175,6 +175,30 @@ def write_framework_ckpt(
     mngr.close()
 
 
+def _check_scene_image_count(hparams, n_images: int, log) -> None:
+    """Fail early, with a readable message, when the checkpoint's per-image
+    tables (sized N_images_train by the reference, nerf_system.py:341,406)
+    don't match the scene the config points at — otherwise the mismatch
+    only surfaces as a deep orbax shape error inside `tto`/`eval`."""
+    try:
+        from upnerf.data import load_scene_meta
+
+        meta = load_scene_meta(hparams)
+    except Exception as e:  # scene data may live on another host
+        log(
+            f"note: scene not loadable here ({e!r}); skipping the "
+            f"image-count cross-check (tables cover {n_images} images)"
+        )
+        return
+    if meta.N_images_train != n_images:
+        raise SystemExit(
+            f"checkpoint tables cover {n_images} images but the scene at "
+            f"{hparams.get('root_dir')!r} has {meta.N_images_train} train "
+            "images — the checkpoint was trained on a different scene/"
+            "split (tto/eval would fail to restore it)"
+        )
+
+
 def convert_reference_run(
     ckpt_path: str,
     result_dir: str,
@@ -198,6 +222,7 @@ def convert_reference_run(
         raise SystemExit(
             "checkpoint has no hyper_parameters; pass --config <yaml>"
         )
+    _check_scene_image_count(hparams, meta["n_images"], log)
     write_framework_ckpt(
         result_dir, hparams, params, pose_params, meta["n_images"], step
     )
