@@ -118,7 +118,11 @@ def _bench_tto_step(nerf_cfg, rcfg, state, B=1024):
 
     from upnerf.evaluate.tto import TTOConfig, TTOGroup, make_tto_step
 
-    cfg = TTOConfig(nerf=nerf_cfg, render=rcfg, batch_size=B)
+    # param_grads=False mirrors the TTO CLI: frozen model, dW skipped
+    # inside the fused backward (RTStatic.param_grads).
+    cfg = TTOConfig(
+        nerf=nerf_cfg, render=rcfg._replace(param_grads=False), batch_size=B
+    )
     G, H, W = 1, 256, 256
     Ks = np.zeros((G, 3, 3), np.float32)
     Ks[:, 0, 0] = Ks[:, 1, 1] = W * 1.2

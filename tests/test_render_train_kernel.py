@@ -269,3 +269,93 @@ class TestVJPParity:
                 np.asarray(a) / scale, np.asarray(b) / scale,
                 rtol=5e-4, atol=5e-5,
             )
+
+
+@pytest.mark.parametrize("save_chain", [False, True])
+@pytest.mark.parametrize("use_cand,use_rgb,out_feat", COMBOS)
+class TestFrozenModelBackward:
+    """param_grads=False (the TTO frozen-model mode, cli/tto.py): the
+    backward skips every dW computation; data-path cotangents must match
+    the full kernel's exactly and the weight cotangents come back zero."""
+
+    def test_data_grads_match_full_kernel(self, use_cand, use_rgb,
+                                          out_feat, save_chain):
+        st = make_static(use_cand, use_rgb, out_feat, save_chain)
+        st_frozen = st._replace(param_grads=False)
+        x0, z, ray_cond, c_emb, trunk, heads = make_args(st, seed=17)
+        rng = np.random.RandomState(23)
+        ref = rt.xla_render_train(x0, z, ray_cond, c_emb, trunk, heads, st)
+        cots = {
+            k: jnp.asarray(rng.randn(*np.shape(v)).astype(np.float32))
+            for k, v in ref.items()
+        }
+
+        def loss(st_):
+            def f(x0_, cond_, cemb_, trunk_, heads_):
+                out = rt.fused_render_train(
+                    x0_, z, cond_, cemb_, trunk_, heads_, st_
+                )
+                return sum((out[k] * cots[k]).sum() for k in out)
+            return f
+
+        dargs = (x0, ray_cond, c_emb, trunk, heads)
+        g_full = jax.grad(loss(st), argnums=(0, 1, 2))(*dargs)
+        g_frozen = jax.grad(loss(st_frozen), argnums=(0, 1, 2))(*dargs)
+        for a, b in zip(jax.tree.leaves(g_frozen), jax.tree.leaves(g_full)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
+        gw = jax.grad(loss(st_frozen), argnums=(3, 4))(*dargs)
+        for leaf in jax.tree.leaves(gw):
+            assert not np.any(np.asarray(leaf)), "weight cotangent nonzero"
+
+    def test_rays_frontend_pose_grads(self, use_cand, use_rgb, out_feat,
+                                      save_chain):
+        """The pose-gradient path (d_rays_o / d_rays_d) under the frozen
+        backward — the gradients TTO phase A actually consumes."""
+        L = 3
+        st = make_static(use_cand, use_rgb, out_feat, save_chain)._replace(
+            xyz_L=L
+        )
+        rng = np.random.RandomState(29)
+
+        def arr(*shape, scale=0.5):
+            return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+        in0 = 3 + 6 * L
+        _, z, ray_cond, c_emb, _, heads = make_args(st, seed=29)
+        trunk = []
+        for i in range(D):
+            fan = in0 if i == 0 else (W + in0 if i in SKIPS else W)
+            trunk.append((arr(fan, W, scale=0.3), arr(W, scale=0.1)))
+        trunk = tuple(trunk)
+        rays_o = arr(R, 3, scale=0.2)
+        rays_d = arr(R, 3)
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        pe_w = jnp.asarray(rng.rand(L).astype(np.float32))
+        ref = rt.xla_render_train_rays(
+            rays_o, rays_d, z, pe_w, ray_cond, c_emb, trunk, heads, st
+        )
+        cots = {
+            k: jnp.asarray(rng.randn(*np.shape(v)).astype(np.float32))
+            for k, v in ref.items()
+        }
+
+        def loss(st_):
+            def f(o_, d_, cond_):
+                out = rt.fused_render_train_rays(
+                    o_, d_, z, pe_w, cond_, c_emb, trunk, heads, st_
+                )
+                return sum((out[k] * cots[k]).sum() for k in out)
+            return f
+
+        g_full = jax.grad(loss(st), argnums=(0, 1, 2))(
+            rays_o, rays_d, ray_cond
+        )
+        g_frozen = jax.grad(loss(st._replace(param_grads=False)),
+                            argnums=(0, 1, 2))(rays_o, rays_d, ray_cond)
+        for a, b in zip(jax.tree.leaves(g_frozen), jax.tree.leaves(g_full)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )

@@ -93,7 +93,12 @@ def main(args) -> None:
     nerf_cfg = NeRFConfig.from_hparams(hparams)
     cfg = TTOConfig(
         nerf=nerf_cfg,
-        render=RenderConfig.from_hparams(hparams)._replace(perturb=1.0),
+        # param_grads=False: the model is frozen in TTO (only the test pose
+        # + appearance embedding optimize, nerf_system_optmize.py:60-76),
+        # so the fused backward skips all dW work.
+        render=RenderConfig.from_hparams(hparams)._replace(
+            perturb=1.0, param_grads=False
+        ),
         batch_size=args.batch_size,
         pose_epochs=args.pose_epochs,
         appearance_epochs=args.appearance_epochs,

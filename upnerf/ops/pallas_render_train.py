@@ -128,6 +128,14 @@ class RTStatic(NamedTuple):
     # _dot cast would produce; only sub-bf16-epsilon ReLU mask flips
     # differ.
     save_chain: bool = False
+    # param_grads=False: the backward computes ONLY the data-path
+    # cotangents (d_rays / d_cond / d_cemb) and skips every dW = x^T dy
+    # accumulation — for frozen-model consumers (TTO optimizes only the
+    # test pose + appearance embedding, nerf_system_optmize.py:60-76,
+    # while pallas_call is opaque to XLA's DCE, so the dead parameter
+    # gradients cannot be elided from outside the kernel). The VJP
+    # returns zeros for the trunk/head cotangents.
+    param_grads: bool = True
 
     @property
     def use_feat(self) -> bool:
@@ -687,8 +695,9 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         dx_ref = it.pop(0)
     dcond_ref = it.pop(0) if st.use_rgb else None
     dcemb_ref = it.pop(0) if st.use_cand else None
-    dtrunk_refs = [(it.pop(0), it.pop(0)) for _ in range(st.D)]
-    dhead_refs = {k: it.pop(0) for k in st.head_keys}
+    if st.param_grads:
+        dtrunk_refs = [(it.pop(0), it.pop(0)) for _ in range(st.D)]
+        dhead_refs = {k: it.pop(0) for k in st.head_keys}
     assert not it, len(it)
 
     cdt = jnp.bfloat16 if st.precision == "bfloat16" else jnp.float32
@@ -720,7 +729,13 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
         return res["chain"][rows, c0:c0 + w]
 
     feat_res = rgb_res = cfeat_res = None
-    if st.use_feat:
+    # feat values feed (a) the feat_map cotangent inner products (out_feat)
+    # and (b) the rgb1_w dW dot (param_grads); when neither consumer is
+    # live (frozen-model rgb phase) skip re-deriving them entirely.
+    need_feat = st.use_feat and (
+        st.out_feat or st.param_grads or not st.save_chain
+    )
+    if need_feat:
         if st.save_chain:
             feat_res = (
                 _dot(_chain_seg(slice(None), "xyzf"), heads["feat_w"], cdt)
@@ -852,16 +867,17 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
             if st.use_cand:
                 o["h1"] = _chain_seg(rows, "h1")
                 o["h2"] = _chain_seg(rows, "h2")
-            if st.use_feat:
+            if st.use_feat and "feat" in res_gs[j]:
                 o["feat"] = res_gs[j]["feat"]
-            x0c = x0s[j].astype(cdt)
-            inputs = [x0c]
-            for i in range(1, st.D):
-                prev = acts[i - 1]
-                if i in st.skips:
-                    prev = jnp.concatenate([x0c, prev], axis=-1)
-                inputs.append(prev)
-            inputss.append(inputs)
+            if st.param_grads:  # trunk inputs feed only the dW dots
+                x0c = x0s[j].astype(cdt)
+                inputs = [x0c]
+                for i in range(1, st.D):
+                    prev = acts[i - 1]
+                    if i in st.skips:
+                        prev = jnp.concatenate([x0c, prev], axis=-1)
+                    inputs.append(prev)
+                inputss.append(inputs)
             actss.append(acts)
             os_.append(o)
     else:
@@ -892,15 +908,17 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
             g_us[j] = g_rgb * (o["rgb"] * (1.0 - o["rgb"])).astype(
                 jnp.float32
             )
-        for j in js:
-            _acc("rgb2_w", _dot(os_[j]["rgbh"].T, g_us[j], cdt))
-            _acc("rgb2_b", g_us[j].sum(axis=0))
+        if st.param_grads:
+            for j in js:
+                _acc("rgb2_w", _dot(os_[j]["rgbh"].T, g_us[j], cdt))
+                _acc("rgb2_b", g_us[j].sum(axis=0))
         for j in js:
             g_rgbhs[j] = (
                 _dot(g_us[j], headsT["rgb2_w"], cdt) * _pos(os_[j]["rgbh"])
             )
-        for j in js:
-            _acc("rgb1_w", _dot(os_[j]["feat"].T, g_rgbhs[j], cdt))
+        if st.param_grads:
+            for j in js:
+                _acc("rgb1_w", _dot(os_[j]["feat"].T, g_rgbhs[j], cdt))
         for j, g0 in enumerate(g0s):
             dcond_ref[g0:g0 + G, :] = (
                 g_rgbhs[j].reshape(G, S, -1).sum(axis=1)
@@ -911,9 +929,10 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
                 g_from_rgb if g_fs[j] is None else g_fs[j] + g_from_rgb
             )
     if st.use_feat:
-        for j in js:
-            _acc("feat_w", _dot(os_[j]["xyzf"].T, g_fs[j], cdt))
-            _acc("feat_b", g_fs[j].sum(axis=0))
+        if st.param_grads:
+            for j in js:
+                _acc("feat_w", _dot(os_[j]["xyzf"].T, g_fs[j], cdt))
+                _acc("feat_b", g_fs[j].sum(axis=0))
         for j in js:
             g_xyzfs[j] = g_xyzfs[j] + _dot(g_fs[j], headsT["feat_w"], cdt)
     if st.use_cand:
@@ -928,35 +947,40 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
                 g_cfs[j] = jnp.zeros(
                     (M, heads["cfeat_w"].shape[1]), jnp.float32
                 )
-        for j in js:
-            _acc("cfeat_w", _dot(os_[j]["h2"].T, g_cfs[j], cdt))
-            _acc("cfeat_b", g_cfs[j].sum(axis=0))
+        if st.param_grads:
+            for j in js:
+                _acc("cfeat_w", _dot(os_[j]["h2"].T, g_cfs[j], cdt))
+                _acc("cfeat_b", g_cfs[j].sum(axis=0))
         for j in js:
             g_h2s[j] = _dot(g_cfs[j], headsT["cfeat_w"], cdt)
         for j, g0 in enumerate(g0s):
             g_cpre_g = g_cpre[g0:g0 + G, :]  # (G, S)
-            g_cpre_ext = _lane0(g_cpre_g)
-            _acc("csig_w", _dot(os_[j]["h2"].T, g_cpre_ext, cdt)[:, :1])
-            _acc("csig_b", g_cpre_ext.sum(axis=0)[:1])
+            if st.param_grads:
+                g_cpre_ext = _lane0(g_cpre_g)
+                _acc("csig_w", _dot(os_[j]["h2"].T, g_cpre_ext, cdt)[:, :1])
+                _acc("csig_b", g_cpre_ext.sum(axis=0)[:1])
             g_h2s[j] = g_h2s[j] + (
                 g_cpre_g[:, :, None]
                 * headsT["csig_w"].reshape(1, 1, -1)
             ).reshape(M, -1)
         for j in js:
             g_h2s[j] = g_h2s[j] * _pos(os_[j]["h2"])
-        for j in js:
-            _acc("c2_w", _dot(os_[j]["h1"].T, g_h2s[j], cdt))
-            _acc("c2_b", g_h2s[j].sum(axis=0))
+        if st.param_grads:
+            for j in js:
+                _acc("c2_w", _dot(os_[j]["h1"].T, g_h2s[j], cdt))
+                _acc("c2_b", g_h2s[j].sum(axis=0))
         for j in js:
             g_h1s[j] = (
                 _dot(g_h2s[j], headsT["c2_w"], cdt) * _pos(os_[j]["h1"])
             )
-        for j in js:
-            _acc("c1x_w", _dot(os_[j]["xyzf"].T, g_h1s[j], cdt))
-            _acc("c1_b", g_h1s[j].sum(axis=0))
+        if st.param_grads:
+            for j in js:
+                _acc("c1x_w", _dot(os_[j]["xyzf"].T, g_h1s[j], cdt))
+                _acc("c1_b", g_h1s[j].sum(axis=0))
         for j, g0 in enumerate(g0s):
             ray_g1 = g_h1s[j].reshape(G, S, -1).sum(axis=1)  # (G, Hc)
-            _acc("c1c_w", _dot(cemb_gs[j].T, ray_g1, cdt))
+            if st.param_grads:
+                _acc("c1c_w", _dot(cemb_gs[j].T, ray_g1, cdt))
             dcemb_ref[g0:g0 + G, :] = _dot(ray_g1, headsT["c1c_w"], cdt)
         for j in js:
             g_xyzfs[j] = g_xyzfs[j] + _dot(g_h1s[j], headsT["c1x_w"], cdt)
@@ -964,11 +988,12 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     g_hs = [None] * n
     for j, g0 in enumerate(g0s):
         g_spre_g = g_spre[g0:g0 + G, :]  # (G, S)
-        g_spre_ext = _lane0(g_spre_g)
-        _acc("sigma_w", _dot(hs[j].T, g_spre_ext, cdt)[:, :1])
-        _acc("sigma_b", g_spre_ext.sum(axis=0)[:1])
-        _acc("xyzf_w", _dot(hs[j].T, g_xyzfs[j], cdt))
-        _acc("xyzf_b", g_xyzfs[j].sum(axis=0))
+        if st.param_grads:
+            g_spre_ext = _lane0(g_spre_g)
+            _acc("sigma_w", _dot(hs[j].T, g_spre_ext, cdt)[:, :1])
+            _acc("sigma_b", g_spre_ext.sum(axis=0)[:1])
+            _acc("xyzf_w", _dot(hs[j].T, g_xyzfs[j], cdt))
+            _acc("xyzf_b", g_xyzfs[j].sum(axis=0))
         g_hs[j] = (
             g_spre_g[:, :, None] * headsT["sigma_w"].reshape(1, 1, -1)
         ).reshape(M, -1)
@@ -981,11 +1006,12 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
     for i in reversed(range(st.D)):
         for j in js:
             gs[j] = gs[j] * _pos(actss[j][i])
-            _acc(
-                f"trunk{i}_w",
-                _trunk_dot(inputss[j][i].T, gs[j], cdt, st.trunk_3x),
-            )
-            _acc(f"trunk{i}_b", gs[j].sum(axis=0))
+            if st.param_grads:
+                _acc(
+                    f"trunk{i}_w",
+                    _trunk_dot(inputss[j][i].T, gs[j], cdt, st.trunk_3x),
+                )
+                _acc(f"trunk{i}_b", gs[j].sum(axis=0))
             g_in = _trunk_dot(gs[j], trunkT[i], cdt, st.trunk_3x)
             if i in st.skips and i > 0:
                 dx0s[j] = dx0s[j] + g_in[:, :in0]
@@ -1003,6 +1029,9 @@ def _bwd_kernel(*refs, st: RTStatic, S: int, G: int, in0: int):
             dd_ref[g0:g0 + G, :] = d_d_g
         else:
             dx_ref[g0 * S:(g0 + G) * S, :] = dx0s[j]
+
+    if not st.param_grads:
+        return
 
     @pl.when(step == 0)
     def _init():
@@ -1286,15 +1315,16 @@ def _bwd_impl(st: RTStatic, res, g):
     if st.use_cand:
         out_shapes.append(jax.ShapeDtypeStruct((R, c_emb.shape[1]), jnp.float32))
         out_specs.append(_rows(Rt, c_emb.shape[1]))
-    for w, b in trunk:
-        out_shapes += [
-            jax.ShapeDtypeStruct(w.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b.shape, jnp.float32),
-        ]
-        out_specs += [_vmem(w.shape), _vmem(b.shape)]
-    for k in st.head_keys:
-        out_shapes.append(jax.ShapeDtypeStruct(heads[k].shape, jnp.float32))
-        out_specs.append(_vmem(heads[k].shape))
+    if st.param_grads:
+        for w, b in trunk:
+            out_shapes += [
+                jax.ShapeDtypeStruct(w.shape, jnp.float32),
+                jax.ShapeDtypeStruct(b.shape, jnp.float32),
+            ]
+            out_specs += [_vmem(w.shape), _vmem(b.shape)]
+        for k in st.head_keys:
+            out_shapes.append(jax.ShapeDtypeStruct(heads[k].shape, jnp.float32))
+            out_specs.append(_vmem(heads[k].shape))
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, st=st, S=S, G=G, in0=in0),
@@ -1319,9 +1349,23 @@ def _bwd_impl(st: RTStatic, res, g):
     dcemb = None
     if st.use_cand:
         dcemb = outs[i]; i += 1
-    dtrunk = tuple((outs[i + 2 * k], outs[i + 2 * k + 1]) for k in range(st.D))
-    i += 2 * st.D
-    dheads = {k: outs[i + j] for j, k in enumerate(st.head_keys)}
+    if st.param_grads:
+        dtrunk = tuple(
+            (outs[i + 2 * k], outs[i + 2 * k + 1]) for k in range(st.D)
+        )
+        i += 2 * st.D
+        dheads = {k: outs[i + j] for j, k in enumerate(st.head_keys)}
+    else:
+        # frozen-model mode: the kernel never computed dW; hand back zero
+        # cotangents (XLA DCEs them — the caller isn't differentiating
+        # the parameters).
+        dtrunk = tuple(
+            (jnp.zeros(w.shape, jnp.float32), jnp.zeros(b.shape, jnp.float32))
+            for w, b in trunk
+        )
+        dheads = {
+            k: jnp.zeros(heads[k].shape, jnp.float32) for k in st.head_keys
+        }
     return d_front, dcond, dcemb, dtrunk, dheads
 
 

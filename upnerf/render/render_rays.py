@@ -68,6 +68,13 @@ class RenderConfig(NamedTuple):
     # fused forward so the fused backward skips the chain recompute —
     # trades MXU FLOPs for streamed HBM traffic (see RTStatic.save_chain).
     save_chain: bool = True
+    # param_grads=False: the fused backward skips every parameter-gradient
+    # (dW = x^T dy) computation and returns zero cotangents for the model
+    # weights. Set by frozen-model consumers (TTO optimizes only the test
+    # pose + appearance embedding) — pallas_call is opaque to XLA's DCE,
+    # so dead dW work can only be elided inside the kernel. Not a yaml
+    # knob; programmatic only (see RTStatic.param_grads).
+    param_grads: bool = True
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "RenderConfig":
@@ -313,6 +320,7 @@ def _fused_train_path(
         xyz_L=nerf_cfg.xyz_L, store_f32=rcfg.store_f32,
         trunk_3x=rcfg.trunk_3x,
         save_chain=rcfg.save_chain and not rcfg.trunk_3x,
+        param_grads=rcfg.param_grads,
     )
     out = fused_render_train_rays(
         rays_o, rays_d, z_vals, w_xyz, ray_cond,
