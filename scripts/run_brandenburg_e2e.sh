@@ -19,6 +19,7 @@
 #   MAX_STEPS   train steps            (default 600000, reference schedule)
 #   DRY_RUN=1   print every command instead of executing (plumbing check)
 set -e
+set -o pipefail  # a failing stage must not be masked by a trailing `tee`
 
 SCENE=${SCENE:-brandenburg_gate}
 ASSETS=${ASSETS:-assets/weights}

@@ -23,6 +23,13 @@ def main(argv=None) -> None:
                         help="model: framework config yaml (defaults to the "
                         "checkpoint's own hyper_parameters)")
     a = parser.parse_args(argv)
+    n_required = {"dino": 2, "dpt": 2, "lpips": 1, "model": 2}[a.kind]
+    if len(a.args) != n_required:
+        parser.error(
+            f"convert_weights {a.kind} takes exactly {n_required} positional "
+            f"argument(s) after the kind (got {len(a.args)}) — see the module "
+            "docstring for usage"
+        )
     if a.kind == "model":
         from upnerf.utils.ref_ckpt import convert_reference_run
 

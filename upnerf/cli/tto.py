@@ -131,10 +131,15 @@ def main(args) -> None:
         np.int64,
     )
     # TTO shards across the mesh too (rays within each image's batch /
-    # chunk interiors) whenever the sizes divide evenly.
-    n_dev = jax.device_count()
+    # chunk interiors) whenever the sizes divide evenly. Device selection
+    # honors the run's tpu.n_devices (same precedence as Trainer: legacy
+    # tpu.data_axis accepted, 0 = all local devices).
+    from upnerf.evaluate.tto import EVAL_CHUNK
+
+    n_dev = hparams.get("tpu.n_devices", hparams.get("tpu.data_axis", 0)) or 0
+    n_dev = min(n_dev, jax.device_count()) if n_dev > 0 else jax.device_count()
     mesh = None
-    if n_dev > 1 and cfg.batch_size % n_dev == 0 and 4096 % n_dev == 0:
+    if n_dev > 1 and cfg.batch_size % n_dev == 0 and EVAL_CHUNK % n_dev == 0:
         from upnerf.parallel import make_mesh
 
         mesh = make_mesh(n_dev)

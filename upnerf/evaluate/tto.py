@@ -38,6 +38,11 @@ from upnerf.models import NeRFConfig, init_embedding
 from upnerf.render import RenderConfig, render_rays
 from .metrics import psnr as psnr_fn, ssim as ssim_fn
 
+# Eval-render chunk size (rays per lax.map step in make_tto_eval). The TTO
+# CLI's mesh gate checks divisibility against THIS constant — keep them in
+# sync by importing it, not by repeating the number.
+EVAL_CHUNK = 4096
+
 
 def align_test_poses(
     se3_table: np.ndarray,  # (N_train, 6) trained refinement
@@ -254,7 +259,7 @@ def make_tto_eval(
     cfg: TTOConfig,
     *,
     x_frac: Tuple[float, float],
-    chunk: int = 4096,
+    chunk: int = EVAL_CHUNK,
     mesh=None,
 ):
     """Full-region render for each image of a group (padded grid, masked).
