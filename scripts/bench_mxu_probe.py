@@ -99,8 +99,25 @@ def main():
               f"({flops / dt / 1e12 / 197 * 100:.0f}% of bf16 peak)",
               flush=True)
 
+    def kern_int8(x_ref, w_ref, o_ref):
+        # Quantized-serving probe: int8 x int8 -> int32 accumulate, scale
+        # + relu in f32, requantize activations to int8 for the next layer
+        # (the realistic per-layer epilogue of an int8 inference chain).
+        h = jnp.clip(x_ref[:] * 127.0, -127, 127).astype(jnp.int8)
+        for i in range(L):
+            acc = jnp.dot(
+                h, w_ref[i], preferred_element_type=jnp.int32
+            )
+            f = jnp.maximum(acc.astype(jnp.float32) * (1.0 / (127 * 127)), 0.0)
+            h = jnp.clip(f * 127.0, -127, 127).astype(jnp.int8)
+        o_ref[:] = h.astype(jnp.float32)
+
     run("pure bf16 chain   ", kern_pure, (ws,))
     run("f32 acc + epilogue", kern_epi, (ws, b))
+    ws_i8 = jnp.asarray(
+        np.clip(np.asarray(ws) * 127 / np.abs(ws).max(), -127, 127), jnp.int8
+    )
+    run("int8 chain + requant", kern_int8, (ws_i8,))
 
 
 if __name__ == "__main__":
