@@ -136,3 +136,69 @@ def test_val_downscale_floor(hp):
     assert out["s_depth_fine"].shape == (w * h,)
     val_psnr = trainer.validate(0)
     assert np.isfinite(val_psnr)
+
+
+class TestDivergenceWatchdog:
+    """Non-finite-loss watchdog: restore-with-refolded-rng, bounded retries
+    (failure-detection aux subsystem; the reference trains through NaNs)."""
+
+    @staticmethod
+    def _nan_step(trainer):
+        def step_fn(state, scene, store, phase):
+            return state, {"loss": jax.numpy.asarray(float("nan"))}
+
+        return step_fn
+
+    def test_recovers_once_then_continues(self, hp):
+        from upnerf.train.loop import Trainer
+
+        hp2 = dict(hp)
+        hp2["exp_name"] = "watchdog_recover"
+        trainer = Trainer(hp2)
+        trainer.fit(log_every=5, max_steps=10)  # checkpoint at step 10
+        assert trainer.ckpt.latest_step() == 10
+
+        real_step = trainer.step_fn
+        calls = {"n": 0}
+
+        def flaky(state, scene, store, phase):
+            calls["n"] += 1
+            if calls["n"] <= 5:  # poison the first logged window only
+                return state, {"loss": jax.numpy.asarray(float("nan"))}
+            return real_step(state, scene, store, phase)
+
+        trainer.step_fn = flaky
+        state = trainer.fit(log_every=5, resume=True, max_steps=20)
+        assert int(state.step) == 20
+        assert trainer._nan_restarts == 1
+        # the restart is visible in the metric log
+        import json
+
+        metrics_file = os.path.join(
+            hp2["out_dir"], "toy", "watchdog_recover", "metrics.jsonl"
+        )
+        recs = [json.loads(l) for l in open(metrics_file)]
+        assert any("train/nonfinite_restart" in r for r in recs)
+
+    def test_aborts_after_budget(self, hp):
+        from upnerf.train.loop import Trainer
+
+        hp2 = dict(hp)
+        hp2["exp_name"] = "watchdog_abort"
+        hp2["train.max_nan_restarts"] = 1
+        trainer = Trainer(hp2)
+        trainer.fit(log_every=5, max_steps=10)
+        trainer.step_fn = self._nan_step(trainer)
+        with pytest.raises(FloatingPointError, match="diverges reproducibly"):
+            trainer.fit(log_every=5, resume=True, max_steps=20)
+        assert trainer._nan_restarts == 2  # budget 1 + the aborting hit
+
+    def test_aborts_without_checkpoint(self, hp):
+        from upnerf.train.loop import Trainer
+
+        hp2 = dict(hp)
+        hp2["exp_name"] = "watchdog_nockpt"
+        trainer = Trainer(hp2)
+        trainer.step_fn = self._nan_step(trainer)
+        with pytest.raises(FloatingPointError, match="before the first"):
+            trainer.fit(log_every=5, max_steps=10)

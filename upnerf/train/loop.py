@@ -47,6 +47,7 @@ class Trainer:
         self.cfg = StepConfig.from_hparams(hparams)
         self.max_steps = hparams["max_steps"]
         self.debug = hparams.get("debug", False)
+        self._nan_restarts = 0  # divergence-watchdog budget spent so far
 
         scene_np, store_np, meta = load_training_data(hparams)
         self.meta: SceneMeta = meta
@@ -237,6 +238,13 @@ class Trainer:
                 # ~30 ms each through the remote-TPU relay)
                 fetched = jax.device_get(metrics)
                 m = {k_: float(v) for k_, v in fetched.items()}
+                # divergence watchdog: judge by the total loss only (psnr
+                # is legitimately +inf on a perfect fit)
+                if not math.isfinite(m.get("loss", 0.0)):
+                    step = self._recover_from_nonfinite(step, m)
+                    t0 = time.time()
+                    window_rays = 0
+                    continue
                 dt = time.time() - t0
                 m["rays_per_sec"] = window_rays / max(dt, 1e-9)
                 m["lr"] = learning_rate_at(
@@ -261,6 +269,50 @@ class Trainer:
             elif step % self.ckpt_interval == 0:
                 self.ckpt.save(step, self.state)
         return self.state
+
+    def _recover_from_nonfinite(self, step: int, m: Dict[str, float]) -> int:
+        """Divergence watchdog (failure detection, no reference equivalent:
+        Lightning trains straight through a NaN). A non-finite total loss at
+        a log point means the state is already poisoned — the fused step
+        applies the optimizer updates, so the NaN has propagated into the
+        parameters. Restore the latest checkpoint, re-fold the sample-stream
+        RNG so the retried trajectory draws different batches, and abort
+        with a clear error once `train.max_nan_restarts` (default 2)
+        restores have been spent (or none exists to restore)."""
+        self._nan_restarts += 1
+        budget = int(self.hp.get("train.max_nan_restarts", 2))
+        bad = sorted(
+            k for k, v in m.items()
+            if (k == "loss" or k.startswith("loss/")) and not math.isfinite(v)
+        )
+        if self.ckpt.latest_step() is None:
+            raise FloatingPointError(
+                f"non-finite loss at step {step} ({bad}) before the first "
+                "checkpoint — lower the learning rate or check the data"
+            )
+        if self._nan_restarts > budget:
+            raise FloatingPointError(
+                f"non-finite loss at step {step} ({bad}) after "
+                f"{budget} checkpoint restore(s) — training diverges "
+                "reproducibly; lower the learning rate or check the data"
+            )
+        self.state = self.ckpt.restore(self.state)
+        restored = int(self.state.step)
+        if self.state.rng is not None:
+            key = jax.random.wrap_key_data(
+                self.state.rng, impl=self.cfg.prng_impl
+            )
+            self.state = self.state._replace(
+                rng=jax.random.key_data(
+                    jax.random.fold_in(key, self._nan_restarts)
+                )
+            )
+        self.logger.log(step, {"train/nonfinite_restart": float(restored)})
+        print(
+            f"[upnerf] non-finite loss at step {step} ({bad}); restored "
+            f"step {restored}, retry {self._nan_restarts}/{budget}"
+        )
+        return restored
 
     # --- validation (models/nerf_system.py:231-318) ------------------------
 
