@@ -202,3 +202,36 @@ class TestDivergenceWatchdog:
         trainer.step_fn = self._nan_step(trainer)
         with pytest.raises(FloatingPointError, match="before the first"):
             trainer.fit(log_every=5, max_steps=10)
+
+
+def test_explicit_resume_ckpt(hp):
+    """`resume_ckpt` restarts from another run's checkpoints
+    (train.py:34-40); the explicit path wins over auto-resume."""
+    from upnerf.train.loop import Trainer
+
+    hp_a = dict(hp)
+    hp_a["exp_name"] = "resume_src"
+    trainer_a = Trainer(hp_a)
+    trainer_a.fit(log_every=10, max_steps=20)
+    src_run = os.path.join(hp_a["out_dir"], "toy", "resume_src")
+    src_se3 = np.asarray(trainer_a.state.pose_params["se3"])
+
+    # restart a NEW experiment from the source run directory
+    hp_b = dict(hp)
+    hp_b["exp_name"] = "resume_dst"
+    hp_b["resume_ckpt"] = src_run
+    trainer_b = Trainer(hp_b)
+    state_b = trainer_b.fit(log_every=10, max_steps=30)
+    assert int(state_b.step) == 30
+    # it really started from the source state (fresh init would be zeros)
+    assert np.abs(src_se3).max() > 0
+    # and the new run saves its own checkpoints
+    assert trainer_b.ckpt.latest_step() == 30
+
+    # a specific step directory also works
+    hp_c = dict(hp)
+    hp_c["exp_name"] = "resume_dst2"
+    hp_c["resume_ckpt"] = os.path.join(src_run, "ckpts", "20")
+    trainer_c = Trainer(hp_c)
+    trainer_c.fit(log_every=10, max_steps=21)
+    assert int(trainer_c.state.step) == 21

@@ -209,7 +209,16 @@ class Trainer:
     def fit(
         self, log_every: int = 100, resume: bool = True, max_steps: Optional[int] = None
     ) -> TrainState:
-        if resume and self.ckpt.latest_step() is not None:
+        resume_ckpt = self.hp.get("resume_ckpt")
+        if resume and resume_ckpt not in (None, "None", ""):
+            # explicit restart checkpoint wins over auto-resume
+            # (train.py:34-40)
+            self.state = self._restore_explicit(resume_ckpt)
+            print(
+                f"[upnerf] restarted from {resume_ckpt} "
+                f"at step {int(self.state.step)}"
+            )
+        elif resume and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             print(f"[upnerf] resumed from step {int(self.state.step)}")
         max_steps = max_steps or self.max_steps
@@ -269,6 +278,23 @@ class Trainer:
             elif step % self.ckpt_interval == 0:
                 self.ckpt.save(step, self.state)
         return self.state
+
+    def _restore_explicit(self, path: str) -> TrainState:
+        """Restore from an explicit checkpoint location (`resume_ckpt`,
+        train.py:34-40): a run directory, its ckpts/ subdirectory, or a
+        specific step directory inside it all work."""
+        path = os.path.abspath(str(path))
+        step = None
+        base = os.path.basename(path.rstrip("/"))
+        if base.isdigit():
+            step, path = int(base), os.path.dirname(path)
+        if os.path.isdir(os.path.join(path, "ckpts")):
+            path = os.path.join(path, "ckpts")
+        src = CheckpointManager(path)
+        try:
+            return src.restore(self.state, step=step)
+        finally:
+            src.close()
 
     def _recover_from_nonfinite(self, step: int, m: Dict[str, float]) -> int:
         """Divergence watchdog (failure detection, no reference equivalent:
