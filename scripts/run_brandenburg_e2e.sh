@@ -19,7 +19,6 @@
 #   MAX_STEPS   train steps            (default 600000, reference schedule)
 #   DRY_RUN=1   print every command instead of executing (plumbing check)
 set -e
-set -o pipefail  # a failing stage must not be masked by a trailing `tee`
 
 SCENE=${SCENE:-brandenburg_gate}
 ASSETS=${ASSETS:-assets/weights}
@@ -89,8 +88,12 @@ run python -m upnerf.cli.tto --result_dir "${OUT}" --ckpt last
 
 # ---- 7. metrics printout = the BASELINE.md parity rows --------------------
 if [ -z "${DRY_RUN}" ]; then
+  # no pipe: under `set -e` a pipeline's status is its LAST command (tee),
+  # which would mask an eval failure — redirect, then print instead
+  # (`set -o pipefail` is bash-only and this script must run under sh)
   python -m upnerf.cli.eval --result_dir "${OUT}" --ckpt last \
-    | tee "${OUT}/parity_rows.txt"
+    > "${OUT}/parity_rows.txt" 2>&1
+  cat "${OUT}/parity_rows.txt"
 else
   run python -m upnerf.cli.eval --result_dir "${OUT}" --ckpt last
 fi
