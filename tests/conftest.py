@@ -27,3 +27,24 @@ jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# Auto-build the optional native helpers (C++ COLMAP reader) when a
+# compiler is available, so test_native.py exercises the real library
+# instead of skipping. ~1 s once; no-op if already built or no g++.
+import shutil  # noqa: E402
+import subprocess  # noqa: E402
+
+_so = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "upnerf", "native", "libcolmap_reader.so",
+)
+if not os.path.isfile(_so) and shutil.which("g++"):
+    _build = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(_so))),
+                     "native", "build.sh")
+    )
+    try:
+        subprocess.run(["sh", _build], check=True, capture_output=True,
+                       timeout=120)
+    except Exception:
+        pass  # tests fall back to the importorskip path
