@@ -17,24 +17,41 @@ import os
 import numpy as np
 
 
-def main(hparams) -> None:
+def main(hparams):
     assert (hparams["pose.optimize"] is True) or (
         hparams["pose.optimize"] is False and hparams["pose.c2f"] is None
     ), "if you don't optimize poses, pose.c2f must be None"  # train.py:24-26
 
     np.random.seed(hparams.get("seed", 42))
 
+    # Multi-controller runs (the DDP replacement, train.py:70-72): launch
+    # this same CLI once per host. `dist.multiprocess true` on TPU pod
+    # slices auto-discovers everything; explicit coordinator/process keys
+    # are for CPU smoke runs and non-TPU clusters. Must happen before any
+    # JAX computation creates the backend client.
+    if hparams.get("dist.multiprocess") or hparams.get("dist.num_processes"):
+        from upnerf import parallel
+
+        parallel.initialize(
+            coordinator_address=hparams.get("dist.coordinator"),
+            num_processes=hparams.get("dist.num_processes"),
+            process_id=hparams.get("dist.process_id"),
+        )
+
     from upnerf.config import save_yaml
+    from upnerf.parallel import is_main_process
     from upnerf.train.loop import Trainer
 
     save_dir = os.path.join(
         hparams["out_dir"], hparams["scene_name"], hparams["exp_name"]
     )
-    os.makedirs(save_dir, exist_ok=True)
-    save_yaml(hparams, os.path.join(save_dir, "config.yaml"))
+    if is_main_process():
+        os.makedirs(save_dir, exist_ok=True)
+        save_yaml(hparams, os.path.join(save_dir, "config.yaml"))
 
     trainer = Trainer(hparams)
     trainer.fit()
+    return trainer
 
 
 if __name__ == "__main__":

@@ -29,13 +29,37 @@ import numpy as np
 from upnerf.data import SceneMeta, load_training_data
 from upnerf.evaluate.metrics import psnr as psnr_fn
 from upnerf.geometry import procrustes, se3
-from upnerf.parallel import batch_sharding, make_mesh, replicated_sharding
+from upnerf.parallel import (
+    batch_sharding,
+    fetch,
+    is_main_process,
+    is_multiprocess,
+    make_mesh,
+    put_local_shards,
+    put_replicated,
+    replicated_sharding,
+)
 from upnerf.utils import CheckpointManager, MetricLogger, get_pca_img, visualize_depth
 
 from .optim import learning_rate_at, make_optimizer
 from .schedules import schedule_phase
 from .state import RayStore, SceneConstants, TrainState, init_params, init_pose_params
 from .step import StepConfig, make_eval_render, make_train_step
+
+
+class _NullLogger:
+    """Logger stub for non-zero processes in multi-controller runs: all
+    filesystem/W&B side effects happen on process 0 only; every process
+    still executes the same device programs (the SPMD contract)."""
+
+    def log(self, *a, **k):
+        pass
+
+    def log_image(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
 
 
 class Trainer:
@@ -54,38 +78,52 @@ class Trainer:
         self.ray_offsets = np.asarray(scene_np["ray_offsets"])
         self.n_images = meta.N_images_train
 
+        # Multi-controller awareness (DDP parity, train.py:70-72): every
+        # process runs this same constructor/loop over ONE global mesh;
+        # only filesystem/W&B side effects are gated to process 0.
+        self.multiprocess = is_multiprocess()
+        self.is_main = is_main_process()
+
         # tpu.n_devices: how many local devices join the 1-D data mesh
         # (0 = all). "tpu.data_axis" is the deprecated round-1 name.
         n_dev = hparams.get("tpu.n_devices", hparams.get("tpu.data_axis", 0))
+        if self.multiprocess:
+            assert not n_dev or n_dev == len(jax.devices()), (
+                "tpu.n_devices cannot sub-slice the mesh in multi-process "
+                "runs: every process's devices must join the global mesh"
+            )
+            n_dev = 0
         self.mesh = make_mesh(n_dev or 0)
         self.repl = replicated_sharding(self.mesh)
         self.bsh = batch_sharding(self.mesh)
 
         feat_maps = scene_np["feat_maps"]
-        self.scene = SceneConstants(
-            Ks=jax.device_put(jnp.asarray(scene_np["Ks"], jnp.float32), self.repl),
-            poses=jax.device_put(jnp.asarray(scene_np["poses"], jnp.float32), self.repl),
-            near_far=jax.device_put(
-                jnp.asarray(scene_np["near_far"], jnp.float32), self.repl
+        self.scene = put_replicated(
+            SceneConstants(
+                Ks=jnp.asarray(scene_np["Ks"], jnp.float32),
+                poses=jnp.asarray(scene_np["poses"], jnp.float32),
+                near_far=jnp.asarray(scene_np["near_far"], jnp.float32),
+                wh=jnp.asarray(scene_np["wh"], jnp.int32),
+                feat_maps=(
+                    None
+                    if feat_maps is None
+                    else jnp.asarray(feat_maps, jnp.bfloat16)
+                ),
             ),
-            wh=jax.device_put(jnp.asarray(scene_np["wh"], jnp.int32), self.repl),
-            feat_maps=(
-                None
-                if feat_maps is None
-                else jax.device_put(jnp.asarray(feat_maps, jnp.bfloat16), self.repl)
-            ),
+            self.repl,
         )
 
         self.store_on_device = bool(hparams.get("tpu.store_on_device", True))
         if self.store_on_device:
-            self.store = RayStore(
-                px=jax.device_put(jnp.asarray(store_np["px"]), self.repl),
-                py=jax.device_put(jnp.asarray(store_np["py"]), self.repl),
-                img_idx=jax.device_put(jnp.asarray(store_np["img_idx"]), self.repl),
-                rgb=jax.device_put(jnp.asarray(store_np["rgb"]), self.repl),
-                inv_depth=jax.device_put(
-                    jnp.asarray(store_np["inv_depth"]), self.repl
+            self.store = put_replicated(
+                RayStore(
+                    px=jnp.asarray(store_np["px"]),
+                    py=jnp.asarray(store_np["py"]),
+                    img_idx=jnp.asarray(store_np["img_idx"]),
+                    rgb=jnp.asarray(store_np["rgb"]),
+                    inv_depth=jnp.asarray(store_np["inv_depth"]),
                 ),
+                self.repl,
             )
             self.store_np = None
         else:
@@ -93,13 +131,19 @@ class Trainer:
             self.store_np = store_np
             from upnerf.data.prefetch import BatchPrefetcher
 
+            # Each process samples its own batch_size/process_count rows
+            # (disjoint seeds) and contributes them as the local shards of
+            # the global sharded batch — the multi-host version of the
+            # reference's per-rank DataLoader under DDP.
+            n_proc = jax.process_count()
+            assert self.cfg.batch_size % max(n_proc, 1) == 0, (
+                self.cfg.batch_size, n_proc,
+            )
             self.prefetcher = BatchPrefetcher(
                 store_np,
-                self.cfg.batch_size,
-                device_put=lambda b: jax.tree.map(
-                    lambda x: jax.device_put(x, self.bsh), b
-                ),
-                seed=hparams.get("seed", 42),
+                self.cfg.batch_size // n_proc,
+                device_put=lambda b: put_local_shards(b, self.bsh),
+                seed=hparams.get("seed", 42) + jax.process_index(),
             )
         self.n_rays = int(store_np["px"].shape[0])
 
@@ -131,7 +175,7 @@ class Trainer:
                 )
             ),
         )
-        self.state = jax.device_put(state, self.repl)
+        self.state = put_replicated(state, self.repl)
 
         donate = bool(hp.get("tpu.donate_state", True))
         self.step_fn, self.batch_step_fn = make_train_step(
@@ -155,7 +199,13 @@ class Trainer:
         )
         os.makedirs(self.save_dir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpts"))
-        self.logger = MetricLogger(self.save_dir, config=hparams)
+        # Orbax coordinates multi-process writers itself (every process
+        # calls save/restore); the metric/image sink is process-0 only.
+        self.logger = (
+            MetricLogger(self.save_dir, config=hparams)
+            if self.is_main
+            else _NullLogger()
+        )
 
         # val cadence: fraction of an epoch (Lightning val_check_interval
         # semantics, train.py:69) or absolute steps when >= 1.
@@ -198,8 +248,8 @@ class Trainer:
             val_wh[img_i] = [img.shape[1], img.shape[0]]
         self.val_data = {
             "scene": self.scene._replace(
-                Ks=jax.device_put(jnp.asarray(val_Ks), self.repl),
-                wh=jax.device_put(jnp.asarray(val_wh, jnp.int32), self.repl),
+                Ks=put_replicated(jnp.asarray(val_Ks), self.repl),
+                wh=put_replicated(jnp.asarray(val_wh, jnp.int32), self.repl),
             ),
             "rgbs": rgbs,
         }
@@ -214,13 +264,15 @@ class Trainer:
             # explicit restart checkpoint wins over auto-resume
             # (train.py:34-40)
             self.state = self._restore_explicit(resume_ckpt)
-            print(
-                f"[upnerf] restarted from {resume_ckpt} "
-                f"at step {int(self.state.step)}"
-            )
+            if self.is_main:
+                print(
+                    f"[upnerf] restarted from {resume_ckpt} "
+                    f"at step {int(self.state.step)}"
+                )
         elif resume and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
-            print(f"[upnerf] resumed from step {int(self.state.step)}")
+            if self.is_main:
+                print(f"[upnerf] resumed from step {int(self.state.step)}")
         max_steps = max_steps or self.max_steps
 
         t0 = time.time()
@@ -334,10 +386,11 @@ class Trainer:
                 )
             )
         self.logger.log(step, {"train/nonfinite_restart": float(restored)})
-        print(
-            f"[upnerf] non-finite loss at step {step} ({bad}); restored "
-            f"step {restored}, retry {self._nan_restarts}/{budget}"
-        )
+        if self.is_main:
+            print(
+                f"[upnerf] non-finite loss at step {step} ({bad}); restored "
+                f"step {restored}, retry {self._nan_restarts}/{budget}"
+            )
         return restored
 
     # --- validation (models/nerf_system.py:231-318) ------------------------
@@ -397,7 +450,10 @@ class Trainer:
             self.state.params, self.state.pose_params, scene, batch,
             jnp.asarray(step / self.max_steps, jnp.float32), phase,
         )
-        out = {k: np.asarray(v[:n]) for k, v in out.items()}
+        # Under a multi-process mesh the render output is sharded across
+        # hosts; fetch() allgathers it so every process sees the full image
+        # (single-process: a plain local copy).
+        out = {k: v[:n] for k, v in fetch(out).items()}
         w, h = (int(x) for x in np.asarray(scene.wh[img_i]))
         return out, (w, h)
 
@@ -428,7 +484,7 @@ class Trainer:
             )
             if key is not None:
                 psnrs.append(float(psnr_fn(jnp.asarray(out[key]), jnp.asarray(rgb_gt))))
-            if not self.debug:
+            if not self.debug and self.is_main:
                 self._log_val_images(step, img_i, out, rgb_gt, (w, h))
         val_psnr = float(np.mean(psnrs)) if psnrs else 0.0
         self.logger.log(step, {"val/psnr": val_psnr})
@@ -519,7 +575,7 @@ class Trainer:
             )
             pose_m["train/pose_t"] = float(np.mean(np.asarray(err["t"])))
         self.logger.log(step, pose_m)
-        if not self.debug:
+        if not self.debug and self.is_main:
             try:
                 from upnerf.utils.viz import get_pose_image
 
