@@ -277,59 +277,117 @@ class Trainer:
 
         t0 = time.time()
         window_rays = 0
+        last_saved = None
         step = int(self.state.step)
-        while step < max_steps:
-            phase = schedule_phase(
-                step / self.max_steps, self.cfg.candidate_schedule
-            )
-            if self.store_on_device:
-                self.state, metrics = self.step_fn(
-                    self.state, self.scene, self.store, phase
+        restore_handlers = self._install_preemption_handlers()
+        try:
+            while step < max_steps:
+                phase = schedule_phase(
+                    step / self.max_steps, self.cfg.candidate_schedule
                 )
-            else:
-                batch = next(self.prefetcher)
-                self.state, metrics = self.batch_step_fn(
-                    self.state, self.scene, batch, phase
-                )
-            step += 1
-            window_rays += self.cfg.batch_size
+                if self.store_on_device:
+                    self.state, metrics = self.step_fn(
+                        self.state, self.scene, self.store, phase
+                    )
+                else:
+                    batch = next(self.prefetcher)
+                    self.state, metrics = self.batch_step_fn(
+                        self.state, self.scene, batch, phase
+                    )
+                step += 1
+                window_rays += self.cfg.batch_size
 
-            if step % log_every == 0 or step == max_steps:
-                # one batched device->host fetch (scalar round-trips cost
-                # ~30 ms each through the remote-TPU relay)
-                fetched = jax.device_get(metrics)
-                m = {k_: float(v) for k_, v in fetched.items()}
-                # divergence watchdog: judge by the total loss only (psnr
-                # is legitimately +inf on a perfect fit)
-                if not math.isfinite(m.get("loss", 0.0)):
-                    step = self._recover_from_nonfinite(step, m)
+                if step % log_every == 0 or step == max_steps:
+                    # one batched device->host fetch (scalar round-trips
+                    # cost ~30 ms each through the remote-TPU relay)
+                    fetched = jax.device_get(metrics)
+                    m = {k_: float(v) for k_, v in fetched.items()}
+                    # divergence watchdog: judge by the total loss only
+                    # (psnr is legitimately +inf on a perfect fit)
+                    if not math.isfinite(m.get("loss", 0.0)):
+                        step = self._recover_from_nonfinite(step, m)
+                        t0 = time.time()
+                        window_rays = 0
+                        continue
+                    dt = time.time() - t0
+                    m["rays_per_sec"] = window_rays / max(dt, 1e-9)
+                    m["lr"] = learning_rate_at(
+                        step, self.hp["optimizer.lr"],
+                        self.hp["optimizer.scheduler.lr_end"], self.max_steps,
+                    )
+                    m["lr_pose"] = learning_rate_at(
+                        step, self.hp["optimizer_pose.lr"],
+                        self.hp["optimizer_pose.scheduler.lr_end"],
+                        self.max_steps,
+                    )
+                    m["phase"] = phase
+                    self.logger.log(step, m)
                     t0 = time.time()
                     window_rays = 0
-                    continue
-                dt = time.time() - t0
-                m["rays_per_sec"] = window_rays / max(dt, 1e-9)
-                m["lr"] = learning_rate_at(
-                    step, self.hp["optimizer.lr"],
-                    self.hp["optimizer.scheduler.lr_end"], self.max_steps,
-                )
-                m["lr_pose"] = learning_rate_at(
-                    step, self.hp["optimizer_pose.lr"],
-                    self.hp["optimizer_pose.scheduler.lr_end"], self.max_steps,
-                )
-                m["phase"] = phase
-                self.logger.log(step, m)
-                t0 = time.time()
-                window_rays = 0
 
-            if self.log_pose_interval and step % self.log_pose_interval == 0:
-                self.log_pose(step)
+                if self.log_pose_interval and step % self.log_pose_interval == 0:
+                    self.log_pose(step)
 
-            if step % self.val_interval == 0 or step == max_steps:
-                val_psnr = self.validate(step)
-                self.ckpt.save(step, self.state, {"val_psnr": val_psnr})
-            elif step % self.ckpt_interval == 0:
-                self.ckpt.save(step, self.state)
+                if step % self.val_interval == 0 or step == max_steps:
+                    val_psnr = self.validate(step)
+                    self.ckpt.save(step, self.state, {"val_psnr": val_psnr})
+                    last_saved = step
+                elif step % self.ckpt_interval == 0:
+                    self.ckpt.save(step, self.state)
+                    last_saved = step
+
+                if self._preempted is not None:
+                    # Preemption-safe shutdown (no reference equivalent —
+                    # Lightning dies mid-step and loses everything since
+                    # the last ModelCheckpoint): the signal handler only
+                    # sets a flag; HERE, between steps, the state is
+                    # consistent, so checkpoint it and leave cleanly.
+                    # Auto-resume (train.py:34-40 semantics) continues
+                    # from this exact step on relaunch.
+                    if last_saved != step:
+                        self.ckpt.save(step, self.state)
+                        last_saved = step
+                    if self.is_main:
+                        print(
+                            f"[upnerf] caught signal {self._preempted}; "
+                            f"checkpointed step {step} and stopped cleanly"
+                        )
+                    break
+        finally:
+            if restore_handlers:
+                import signal as _signal
+
+                for sig, old in restore_handlers.items():
+                    _signal.signal(sig, old)
         return self.state
+
+    def _install_preemption_handlers(self):
+        """SIGTERM/SIGINT -> flag-only handler (checked between steps).
+        SIGTERM is what TPU-pod preemption and every scheduler's grace
+        window deliver. The original handlers are restored by fit(); a
+        second SIGINT falls through to the restored KeyboardInterrupt
+        behavior (the handler restores it immediately, so mash Ctrl-C
+        twice to hard-stop). Off the main thread (e.g. Trainer driven
+        from a test harness thread) signal.signal is illegal — handlers
+        are skipped and the flag just stays unset."""
+        import signal
+        import threading
+
+        self._preempted = None
+        restore = {}
+        if not bool(self.hp.get("train.graceful_shutdown", True)):
+            return restore
+        if threading.current_thread() is not threading.main_thread():
+            return restore
+
+        def _flag(signum, frame):
+            self._preempted = signum
+            if signum == signal.SIGINT:
+                signal.signal(signal.SIGINT, restore[signal.SIGINT])
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            restore[sig] = signal.signal(sig, _flag)
+        return restore
 
     def _restore_explicit(self, path: str) -> TrainState:
         """Restore from an explicit checkpoint location (`resume_ckpt`,
