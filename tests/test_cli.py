@@ -125,6 +125,21 @@ def test_render_video_cli(proto_dir):
     pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
     assert len(pngs) >= 2
 
+    # --fast: interval-tightened serving render (upnerf/render/fast.py)
+    fast_dir = os.path.join(root, "video_fast")
+    rv_main(
+        argparse.Namespace(
+            result_dir=run_dir, ckpt="last", anchor=0, frames=1, scale=1.0,
+            out=fast_dir, fast=True, fast_probe=8, fast_samples=8,
+            fast_importance=4,
+        )
+    )
+    import numpy as np
+    from PIL import Image
+
+    frame = np.asarray(Image.open(os.path.join(fast_dir, "frame_000.png")))
+    assert frame.shape[-1] == 3 and np.isfinite(frame).all()
+
 
 def test_prepare_cache_cli(proto_dir):
     root, scene = proto_dir

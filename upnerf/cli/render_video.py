@@ -35,7 +35,22 @@ def main(args) -> None:
 
     nerf_cfg = NeRFConfig.from_hparams(hparams)
     rcfg = RenderConfig.from_hparams(hparams)._replace(perturb=0.0)
-    renderer = make_pose_renderer(nerf_cfg, rcfg, chunk=hparams["val.chunk_size"])
+    fast = None
+    if getattr(args, "fast", False):
+        from upnerf.render import FastRenderConfig
+
+        # Serving-only interval tightening (upnerf/render/fast.py): probe
+        # the coarse density, render a reduced budget inside the tightened
+        # per-ray interval. Measured quality/speed trade: docs/DESIGN.md
+        # "Fast serving renders".
+        fast = FastRenderConfig(
+            n_probe=getattr(args, "fast_probe", 64),
+            N_samples=getattr(args, "fast_samples", 64),
+            N_importance=getattr(args, "fast_importance", 64),
+        )
+    renderer = make_pose_renderer(
+        nerf_cfg, rcfg, chunk=hparams["val.chunk_size"], fast=fast
+    )
 
     anchor_id = meta.img_ids_train[args.anchor]
     # anchor at the REFINED training pose: exp(se3) o base
@@ -76,4 +91,12 @@ if __name__ == "__main__":
     parser.add_argument("--frames", default=60, type=int)
     parser.add_argument("--scale", default=1.0, type=float)
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="interval-tightened serving render (reduced sample budget "
+        "inside a sigma-probed per-ray [near, far])",
+    )
+    parser.add_argument("--fast_probe", default=64, type=int)
+    parser.add_argument("--fast_samples", default=64, type=int)
+    parser.add_argument("--fast_importance", default=64, type=int)
     main(parser.parse_args())

@@ -21,13 +21,24 @@ from upnerf.render import RenderConfig, render_rays
 
 
 def make_pose_renderer(
-    nerf_cfg: NeRFConfig, rcfg: RenderConfig, chunk: int = 4096
+    nerf_cfg: NeRFConfig, rcfg: RenderConfig, chunk: int = 4096, fast=None
 ):
     """render(params, K, pose, px, py, near_far, a_idx) -> rgb/depth maps.
 
     px/py are flat pixel coords padded to a chunk multiple; a_idx selects
     the appearance embedding row (reference uses a train image's embedding
-    for novel views, datasets/phototourism.py:490-492)."""
+    for novel views, datasets/phototourism.py:490-492).
+
+    fast: optional upnerf.render.FastRenderConfig — serving-only interval
+    tightening: a sigma-only probe of the coarse network shrinks each
+    ray's [near, far] to where the weight mass lives, and a reduced
+    sample budget renders inside it (upnerf/render/fast.py)."""
+    if fast is not None:
+        from upnerf.render.fast import fast_render_config, tighten_rays
+
+        render_cfg = fast_render_config(rcfg, fast)
+    else:
+        render_cfg = rcfg
 
     @functools.partial(jax.jit, static_argnames=())
     def render(params: Dict[str, Any], K, pose, px, py, near_far, a_idx):
@@ -35,6 +46,7 @@ def make_pose_renderer(
         n_chunks = n // chunk
         pxc = px.reshape(n_chunks, chunk)
         pyc = py.reshape(n_chunks, chunk)
+        progress = jnp.asarray(1.0)
 
         def one(args):
             pxi, pyi = args
@@ -43,11 +55,16 @@ def make_pose_renderer(
             rays = jnp.concatenate(
                 [rays_o, rays_d, jnp.broadcast_to(near_far, (chunk, 2))], -1
             )
+            if fast is not None:
+                rays = tighten_rays(
+                    params["nerf_coarse"], nerf_cfg, rcfg, fast, rays,
+                    progress,
+                )
             idx = jnp.full((chunk,), a_idx, jnp.int32)
             out = render_rays(
-                params, rcfg, nerf_cfg, rays, idx,
+                params, render_cfg, nerf_cfg, rays, idx,
                 key=None, phase=2, sched_mult=jnp.asarray(1.0),
-                progress=jnp.asarray(1.0), encode_candidate=False, det=True,
+                progress=progress, encode_candidate=False, det=True,
             )
             return out["s_rgb_fine"], out["s_depth_fine"]
 
