@@ -11,6 +11,7 @@ The same JSON line also machine-captures every other hot path DESIGN.md
 claims (VERDICT r2 weak #4 — previously prose-only):
   - phase-0 (feature) and phase-2 (rgb) train rates
   - forward-only full-image render (the val/TTO-eval mega-kernel path)
+  - the opt-in fast serving render (interval tightening, -0.09 dB measured)
   - TTO phase-A step rate (pose + embedding on a frozen model)
   - host-streaming steady-state on a reduced-row-count RAM store
 
@@ -106,6 +107,44 @@ def _bench_forward_render(cfg, scene, state, H=256, W=256):
         )
     float(rd(out))
     return (time.perf_counter() - t0) / reps / (H * W)
+
+
+def _bench_fast_render(nerf_cfg, rcfg, scene, state, H=256, W=256,
+                       chunk=4096):
+    """Opt-in fast serving render (interval tightening, upnerf/render/fast.py):
+    sigma-probe + half budget through make_pose_renderer. Measured quality
+    trade on a trained scene: -0.09 dB (docs/DESIGN.md
+    "Fast serving renders")."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from upnerf.evaluate.render import make_pose_renderer
+    from upnerf.render import FastRenderConfig
+
+    fast = FastRenderConfig(N_samples=64, N_importance=64)
+    params = {
+        "nerf_coarse": state.params["nerf_coarse"],
+        "nerf_fine": state.params["nerf_fine"],
+        "embeddings": state.params["embeddings"],
+    }
+    r = make_pose_renderer(
+        nerf_cfg, rcfg._replace(perturb=0.0), chunk=chunk, fast=fast
+    )
+    n = H * W
+    jj, ii = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    px = jnp.asarray(ii.ravel(), jnp.float32)
+    py = jnp.asarray(jj.ravel(), jnp.float32)
+    K = jnp.asarray(np.asarray(scene.Ks[0]))
+    pose = jnp.eye(3, 4)
+    near_far = jnp.array([0.1, 5.0])
+    rgb, _ = r(params, K, pose, px, py, near_far, 0)
+    float(rgb.sum())
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rgb, _ = r(params, K, pose, px, py, near_far, 0)
+    float(rgb.sum())
+    return (time.perf_counter() - t0) / reps / n
 
 
 def _bench_tto_step(nerf_cfg, rcfg, state, B=1024):
@@ -248,6 +287,7 @@ def main():
     )
     # --- forward-only render / TTO / streaming ---------------------------
     dt_render = _bench_forward_render(cfg, scene, state)
+    dt_fast = _bench_fast_render(nerf_cfg, rcfg, scene, state)
     dt_tto = _bench_tto_step(nerf_cfg, rcfg, state)
     dt_stream = _bench_streaming(cfg, scene, state, step_batch, readout)
 
@@ -269,6 +309,7 @@ def main():
         "phase0_rays_per_sec": round(cfg.batch_size / dt0, 1),
         "phase2_rays_per_sec": round(cfg.batch_size / dt2, 1),
         "render_fwd_rays_per_sec": round(1.0 / dt_render, 1),
+        "render_fast_rays_per_sec": round(1.0 / dt_fast, 1),
         "tto_step_rays_per_sec": round(1.0 / dt_tto, 1),
         "streaming_rays_per_sec": round(cfg.batch_size / dt_stream, 1),
         "baseline_a100_rays_per_sec_assumed": A100_BASELINE_RAYS_PER_SEC,
