@@ -270,3 +270,82 @@ class TestEndToEndMigration:
             ref_ckpt.convert_reference_run(
                 str(ckpt_path), str(tmp_path / "run2"), log=lambda *a: None
             )
+
+
+class TestReverseExport:
+    def test_round_trip_state_dict(self):
+        """reference sd -> our params -> exported sd == original, tensor
+        for tensor (the exporter is the exact inverse of the converter)."""
+        sd, _ = build_ref_system_state_dict(seed=13)
+        params, pose_params, meta = ref_ckpt.convert_state_dict(sd)
+        out = ref_ckpt.export_state_dict(params, pose_params, progress=0.0)
+        assert set(out) == set(sd), (
+            set(sd) - set(out), set(out) - set(sd),
+        )
+        for k in sd:
+            np.testing.assert_allclose(
+                out[k].numpy(), sd[k].detach().numpy(), rtol=1e-6,
+                err_msg=k,
+            )
+
+    def test_exported_sd_strict_loads_into_reference_modules(self):
+        """The exported names/shapes satisfy the ACTUAL reference modules'
+        strict load_state_dict — the contract a migrating-back user needs."""
+        sd, mods = build_ref_system_state_dict(seed=17)
+        params, pose_params, _ = ref_ckpt.convert_state_dict(sd)
+        out = ref_ckpt.export_state_dict(params, pose_params, progress=0.37)
+        for attr, mod in mods.items():
+            sub = {
+                k[len(attr) + 1:]: v
+                for k, v in out.items()
+                if k.startswith(attr + ".")
+            }
+            mod.load_state_dict(sub, strict=True)
+        assert float(mods["nerf_coarse"].progress.detach()) == pytest.approx(
+            0.37
+        )
+
+    def test_export_framework_run_cli(self, tmp_path, capsys):
+        """Full circle through both CLIs: lightning ckpt -> run dir ->
+        `convert_weights export` -> lightning ckpt, equal state_dict."""
+        from upnerf.cli.convert_weights import main as convert_main
+        from upnerf.config import default as default_config
+
+        sd, _ = build_ref_system_state_dict(seed=19)
+        hp = default_config()
+        hp.update({
+            "nerf.D": CFG.D, "nerf.W": CFG.W, "nerf.skips": [2],
+            "nerf.N_emb_xyz": CFG.xyz_L, "nerf.N_emb_dir": CFG.dir_L,
+            "nerf.appearance_dim": CFG.appearance_dim,
+            "nerf.candidate_dim": CFG.candidate_dim,
+            "nerf.feat_dim": CFG.feat_dim,
+            "pose.c2f": list(CFG.c2f),
+            "t_net.transient_dim": TCFG.transient_dim,
+            "t_net.feat_dim": TCFG.feat_dim,
+            "tpu.fused_trunk": False,
+            "max_steps": 1000,
+            "pose.optimize": True,
+        })
+        ckpt_in = tmp_path / "ref.ckpt"
+        torch.save(
+            {"state_dict": sd, "hyper_parameters": hp, "global_step": 500},
+            ckpt_in,
+        )
+        run_dir = tmp_path / "run"
+        convert_main(["model", str(ckpt_in), str(run_dir)])
+        ckpt_out = tmp_path / "exported.ckpt"
+        convert_main(["export", str(run_dir), str(ckpt_out)])
+        assert "exported step-500" in capsys.readouterr().out
+
+        back = torch.load(ckpt_out, map_location="cpu", weights_only=False)
+        # progress 500/1000; global_step doubled under pose optimization
+        assert back["global_step"] == 1000
+        for k in sd:
+            if k.endswith(".progress"):
+                assert float(back["state_dict"][k]) == pytest.approx(0.5)
+                continue
+            np.testing.assert_allclose(
+                back["state_dict"][k].numpy(), sd[k].detach().numpy(),
+                rtol=1e-6, err_msg=k,
+            )
+        assert back["hyper_parameters"]["nerf.W"] == CFG.W

@@ -5,6 +5,8 @@
     python -m upnerf.cli.convert_weights lpips <out.npz>   # needs `lpips` pkg
     python -m upnerf.cli.convert_weights model <ref.ckpt> <result_dir> \\
         [--config cfg.yaml]   # trained reference run -> our run directory
+    python -m upnerf.cli.convert_weights export <result_dir> <out.ckpt> \\
+        [--ckpt last|best]    # our trained run -> reference Lightning ckpt
 
 `model` converts a TRAINED reference Lightning checkpoint (train.py ->
 `ckpts/*.ckpt`) into a run directory this repo's tto/eval/render_video
@@ -17,13 +19,15 @@ import argparse
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("kind", choices=["dino", "dpt", "lpips", "model"])
+    parser.add_argument("kind", choices=["dino", "dpt", "lpips", "model", "export"])
     parser.add_argument("args", nargs="+")
     parser.add_argument("--config", default=None,
                         help="model: framework config yaml (defaults to the "
                         "checkpoint's own hyper_parameters)")
+    parser.add_argument("--ckpt", default="last", choices=["last", "best"],
+                        help="export: which checkpoint of the run to export")
     a = parser.parse_args(argv)
-    n_required = {"dino": 2, "dpt": 2, "lpips": 1, "model": 2}[a.kind]
+    n_required = {"dino": 2, "dpt": 2, "lpips": 1, "model": 2, "export": 2}[a.kind]
     if len(a.args) != n_required:
         parser.error(
             f"convert_weights {a.kind} takes exactly {n_required} positional "
@@ -34,6 +38,11 @@ def main(argv=None) -> None:
         from upnerf.utils.ref_ckpt import convert_reference_run
 
         convert_reference_run(a.args[0], a.args[1], a.config)
+        return
+    if a.kind == "export":
+        from upnerf.utils.ref_ckpt import export_framework_run
+
+        export_framework_run(a.args[0], a.args[1], ckpt=a.ckpt)
         return
     if a.kind == "dino":
         from upnerf.features.convert import convert_dino_vit

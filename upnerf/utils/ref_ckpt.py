@@ -1,4 +1,8 @@
-"""Convert a trained reference UP-NeRF checkpoint into this framework.
+"""Trained-checkpoint interop with the reference, BOTH directions.
+
+Forward (`convert_*`): reference Lightning .ckpt -> our run directory.
+Reverse (`export_*`): our run directory -> a reference-style Lightning
+.ckpt (for users comparing in reference tooling or migrating back).
 
 The reference trains with PyTorch Lightning; its checkpoints hold a flat
 ``state_dict`` keyed by the NeRFSystem attribute names
@@ -197,6 +201,132 @@ def _check_scene_image_count(hparams, n_images: int, log) -> None:
             "images — the checkpoint was trained on a different scene/"
             "split (tto/eval would fail to restore it)"
         )
+
+
+# --- reverse direction: our run -> reference Lightning checkpoint --------
+
+
+def export_state_dict(
+    params: Dict[str, Any],
+    pose_params: Dict[str, Any],
+    progress: float,
+):
+    """Our param pytree -> the reference's flat NeRFSystem state_dict
+    (exact inverse of convert_state_dict: torch (out, in) Linear layout,
+    the NeRFSystem attribute names of models/nerf_system.py:340-409, and
+    the BARF `progress` nn.Parameter of models/nerf.py:36)."""
+    import torch
+
+    sd: Dict[str, Any] = {}
+
+    def put_linear(prefix: str, p: Dict[str, Any]) -> None:
+        w = np.ascontiguousarray(np.asarray(p["w"], np.float32).T)
+        sd[f"{prefix}.weight"] = torch.from_numpy(w)
+        sd[f"{prefix}.bias"] = torch.from_numpy(
+            np.asarray(p["b"], np.float32).copy()
+        )
+
+    def put_table(key: str, arr) -> None:
+        sd[key] = torch.from_numpy(np.asarray(arr, np.float32).copy())
+
+    for typ in ("nerf_coarse", "nerf_fine"):
+        p = params.get(typ)
+        if p is None:
+            continue
+        sd[f"{typ}.progress"] = torch.tensor(float(progress))
+        for i, lay in enumerate(p["trunk"]):
+            put_linear(f"{typ}.xyz_encoding_{i + 1}.0", lay)
+        put_linear(f"{typ}.xyz_encoding_final", p["xyz_final"])
+        put_linear(f"{typ}.share_sigma.0", p["share_sigma"])
+        put_linear(f"{typ}.rgb_share_layer.0", p["rgb_share"][0])
+        put_linear(f"{typ}.rgb_share_layer.2", p["rgb_share"][1])
+        if "feat_share" in p:
+            put_linear(f"{typ}.feat_share_layer", p["feat_share"])
+        if "cand_enc" in p:
+            put_linear(f"{typ}.candidate_encoding.0", p["cand_enc"][0])
+            put_linear(f"{typ}.candidate_encoding.2", p["cand_enc"][1])
+            put_linear(f"{typ}.candidate_sigma.0", p["cand_sigma"])
+            if "cand_feat" in p:
+                put_linear(f"{typ}.feat_candidate_layer", p["cand_feat"])
+            elif "cand_rgb" in p:
+                put_linear(f"{typ}.rgb_candidate_layer", p["cand_rgb"])
+
+    t = params.get("transient")
+    if t is not None:
+        put_table("transient_net.embedding_t.weight", t["t_emb"])
+        for i, lay in enumerate(t["feat_encoder"]):
+            put_linear(f"transient_net.feat_encoder.{2 * i}", lay)
+        put_linear("transient_net.final_encoder", t["final_encoder"])
+        put_linear("transient_net.t_encoder.0", t["t_encoder"])
+        put_linear("transient_net.alpha_layer.0", t["alpha_layer"])
+        put_linear("transient_net.beta_layer.0", t["beta_layer"])
+        put_linear("transient_net.rgb_layer.0", t["rgb_layer"])
+
+    for ours, theirs in (
+        ("coarse_a", "embedding_coarse_a"),
+        ("fine_a", "embedding_fine_a"),
+        ("coarse_c", "embedding_coarse_c"),
+        ("fine_c", "embedding_fine_c"),
+    ):
+        arr = params.get("embeddings", {}).get(ours)
+        if arr is not None:
+            put_table(f"{theirs}.weight", arr)
+
+    put_table("se3_refine.weight", pose_params["se3"])
+    put_table("depth_scale.weight", pose_params["depth_scale"])
+    return sd
+
+
+def export_framework_run(
+    result_dir: str,
+    out_path: str,
+    ckpt: str = "last",
+    log=print,
+) -> None:
+    """One-call reverse migration: our run directory -> a reference-style
+    Lightning .ckpt (state_dict + hyper_parameters + global_step) that the
+    reference's `load_ckpt`/`extract_model_state_dict` utilities
+    (utils/__init__.py:4-26) and its tto/eval tooling read. Weights/tables
+    only — torch optimizer states are not synthesized, so reference-side
+    TRAINING resume restarts optimization (same caveat as the forward
+    direction, inverted)."""
+    import torch
+
+    from upnerf.config import get_from_path
+    from upnerf.utils.ckpt import CheckpointManager
+
+    hparams = get_from_path(os.path.join(result_dir, "config.yaml"))
+    mngr = CheckpointManager(os.path.join(result_dir, "ckpts"))
+    step = mngr.best_step() if ckpt == "best" else mngr.latest_step()
+    assert step is not None, f"no checkpoint under {result_dir}/ckpts"
+    # Restore WITHOUT a target: avoids needing the scene data (the table
+    # sizes live in the checkpoint itself).
+    import orbax.checkpoint as ocp
+
+    raw = mngr._mngr.restore(step, args=ocp.args.StandardRestore())
+    mngr.close()
+    params, pose_params = raw["params"], raw["pose_params"]
+
+    # Our schedule progress is step/max_steps; the reference persists the
+    # same 0->1 quantity in the `progress` parameter and doubles
+    # global_step under pose optimization (Lightning counts both optimizer
+    # steps; train.py:59-62, models/nerf_system.py:222-224).
+    progress = min(float(step) / float(hparams["max_steps"]), 1.0)
+    global_step = int(step) * (2 if hparams.get("pose.optimize", True) else 1)
+    sd = export_state_dict(params, pose_params, progress)
+    out = {
+        "state_dict": sd,
+        "hyper_parameters": dict(hparams),
+        "global_step": global_step,
+        "epoch": 0,
+        "pytorch-lightning_version": "1.9.0",
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    torch.save(out, out_path)
+    log(
+        f"exported step-{step} state ({len(sd)} tensors, "
+        f"progress={progress:.4f}) -> {out_path}"
+    )
 
 
 def convert_reference_run(
