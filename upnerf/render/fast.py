@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from upnerf.models.nerf import NeRFConfig, apply_nerf

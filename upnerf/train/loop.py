@@ -369,7 +369,13 @@ class Trainer:
         behavior (the handler restores it immediately, so mash Ctrl-C
         twice to hard-stop). Off the main thread (e.g. Trainer driven
         from a test harness thread) signal.signal is illegal — handlers
-        are skipped and the flag just stays unset."""
+        are skipped and the flag just stays unset.
+
+        Multi-controller caveat: the shutdown save is a COLLECTIVE orbax
+        write, so it is safe exactly when every process receives the
+        signal (the pod-preemption case — schedulers signal all hosts).
+        Signalling a single worker of a live cluster instead leaves it
+        waiting in the save barrier until the grace period kills it."""
         import signal
         import threading
 

@@ -74,6 +74,16 @@ class CheckpointManager:
                 )
             raise
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore WITHOUT a target: returns the saved pytree as plain
+        arrays (state fields as a dict). Lets consumers read a checkpoint
+        when the model/scene context needed to build a target state isn't
+        available (e.g. the reverse checkpoint exporter)."""
+        if step is None:
+            step = self.latest_step()
+        assert step is not None, f"no checkpoint in {self.directory}"
+        return self._mngr.restore(step, args=ocp.args.StandardRestore())
+
     def close(self):
         self._mngr.close()
 

@@ -301,9 +301,7 @@ def export_framework_run(
     assert step is not None, f"no checkpoint under {result_dir}/ckpts"
     # Restore WITHOUT a target: avoids needing the scene data (the table
     # sizes live in the checkpoint itself).
-    import orbax.checkpoint as ocp
-
-    raw = mngr._mngr.restore(step, args=ocp.args.StandardRestore())
+    raw = mngr.restore_raw(step)
     mngr.close()
     params, pose_params = raw["params"], raw["pose_params"]
 
