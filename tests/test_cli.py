@@ -158,3 +158,48 @@ def test_prepare_cache_cli(proto_dir):
     assert os.path.isdir(cdir)
     meta, scene_np, store_np = load_cache(cdir)
     assert store_np["rgb"].dtype == np.uint8
+
+
+def test_tto_shard_and_eval_merge(tmp_path, capsys):
+    """Multi-host TTO scale-out: `--shard i/n` strides the test images,
+    each shard writes its own metrics file, eval merges them."""
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    synthetic.generate_scene(
+        scene, n_train=3, n_test=3, H=24, W=32, feat_hw=8, feat_dim=8,
+        focal=24.0,
+    )
+    from upnerf.cli.train import main as train_main
+
+    train_main(_train_hparams(root, scene))
+    run_dir = os.path.join(root, "out", "synth", "cli_smoke")
+
+    from upnerf.cli.tto import main as tto_main
+
+    def shard_args(spec):
+        return argparse.Namespace(
+            result_dir=run_dir, ckpt="last", batch_size=64, optimize_num=-1,
+            group_size=2, pose_epochs=1, appearance_epochs=1, shard=spec,
+        )
+
+    tto_main(shard_args("0/2"))  # images 0, 2
+    tto_main(shard_args("1/2"))  # image 1
+    a_dir = os.path.join(run_dir, "a_optimize")
+    with open(os.path.join(a_dir, "metrics.shard0of2.json")) as f:
+        m0 = json.load(f)
+    with open(os.path.join(a_dir, "metrics.shard1of2.json")) as f:
+        m1 = json.load(f)
+    assert set(m0) == {"0", "2"} and set(m1) == {"1"}
+    assert not os.path.isfile(os.path.join(a_dir, "metrics.json"))
+
+    from upnerf.cli.eval import main as eval_main
+
+    eval_main(argparse.Namespace(result_dir=run_dir, ckpt="last"))
+    out = capsys.readouterr().out
+    assert "PSNR" in out  # merged across both shard files
+
+    # an overflowing shard index owns nothing and exits cleanly
+    tto_main(shard_args("3/4"))
+    # 3 test images striped 3/4 -> image 3 doesn't exist -> no-op is fine
+    with pytest.raises(SystemExit):
+        tto_main(shard_args("2"))  # malformed spec

@@ -46,13 +46,25 @@ def main(args) -> None:
     else:
         print("Dataset does not have GT poses. Skip pose evaluation.")
 
-    metrics_path = os.path.join(args.result_dir, "a_optimize", "metrics.json")
-    if not os.path.isfile(metrics_path):
-        print(f"There is no {metrics_path}.")
+    # Single-host TTO writes metrics.json; multi-host shards
+    # (tto --shard i/n) each write metrics.shard{i}of{n}.json — merge all.
+    import glob
+
+    save_root = os.path.join(args.result_dir, "a_optimize")
+    paths = sorted(
+        p
+        for p in glob.glob(os.path.join(save_root, "metrics*.json"))
+        if os.path.basename(p) == "metrics.json"
+        or os.path.basename(p).startswith("metrics.shard")
+    )
+    if not paths:
+        print(f"There is no {os.path.join(save_root, 'metrics.json')}.")
         print("You should run upnerf.cli.tto for getting NVS results.")
         return
-    with open(metrics_path) as f:
-        m = json.load(f)
+    m = {}
+    for p in paths:
+        with open(p) as f:
+            m.update(json.load(f))
     psnr = [v["psnr"] for v in m.values()]
     ssim = [v["ssim"] for v in m.values()]
     lpips = [v["lpips"] for v in m.values() if v.get("lpips") is not None]

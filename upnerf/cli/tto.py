@@ -52,6 +52,17 @@ def load_trained(result_dir: str, ckpt: str):
     return hparams, state, meta
 
 
+def _parse_shard(spec: str):
+    """'i/n' -> (i, n), validated."""
+    try:
+        i, n = (int(x) for x in str(spec).split("/"))
+    except ValueError:
+        raise SystemExit(f"--shard must be 'i/n' (got {spec!r})")
+    if not (n >= 1 and 0 <= i < n):
+        raise SystemExit(f"--shard needs 0 <= i < n (got {spec!r})")
+    return i, n
+
+
 def main(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -89,6 +100,19 @@ def main(args) -> None:
         if args.optimize_num == -1
         else [args.optimize_num]
     )
+    # --shard i/n: strided split of the test images for multi-HOST TTO
+    # scale-out — each image's optimization is independent (the reference
+    # relaunches a Trainer per image, tto.py:119-139), so hosts need no
+    # communication; run the same command with a different i per host.
+    # Each shard owns its metrics file; eval merges metrics*.json.
+    shard_i, shard_n = _parse_shard(getattr(args, "shard", "0/1"))
+    nums = nums[shard_i::shard_n]
+    if shard_n > 1:
+        print(f"[tto] shard {shard_i}/{shard_n}: {len(nums)} of "
+              f"{len(test_ids)} test images")
+    if not nums:
+        print("[tto] shard owns no test images; nothing to do")
+        return
 
     nerf_cfg = NeRFConfig.from_hparams(hparams)
     cfg = TTOConfig(
@@ -113,7 +137,12 @@ def main(args) -> None:
         print("[tto] LPIPS weights not found (UPNERF_LPIPS_WEIGHTS unset) — "
               "reporting PSNR/SSIM only")
 
-    results_path = os.path.join(save_root, "metrics.json")
+    results_path = os.path.join(
+        save_root,
+        "metrics.json"
+        if shard_n == 1
+        else f"metrics.shard{shard_i}of{shard_n}.json",
+    )
     all_metrics = {}
     if os.path.isfile(results_path):
         with open(results_path) as f:
@@ -209,7 +238,7 @@ def main(args) -> None:
         with open(results_path, "w") as f:
             json.dump(all_metrics, f, indent=1)
         done = len(all_metrics)
-        print(f"[tto] {done}/{len(test_ids)} images done -> {results_path}")
+        print(f"[tto] {done}/{len(nums)} images done -> {results_path}")
 
 
 if __name__ == "__main__":
@@ -221,4 +250,8 @@ if __name__ == "__main__":
     parser.add_argument("--group_size", default=4, type=int)
     parser.add_argument("--pose_epochs", default=50, type=int)
     parser.add_argument("--appearance_epochs", default=20, type=int)
+    parser.add_argument("--shard", default="0/1",
+                        help="'i/n': optimize every n-th test image starting "
+                        "at i — run one shard per host for multi-host TTO "
+                        "(images are independent; eval merges the shards)")
     main(parser.parse_args())
