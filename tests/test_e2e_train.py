@@ -235,3 +235,27 @@ def test_explicit_resume_ckpt(hp):
     trainer_c = Trainer(hp_c)
     trainer_c.fit(log_every=10, max_steps=21)
     assert int(trainer_c.state.step) == 21
+
+
+def test_profile_capture(hp, tmp_path):
+    """train.profile_at captures a device trace into <run>/profile/
+    (A1 profiling/tracing; richer than Lightning profiler='simple')."""
+    import glob
+
+    from upnerf.train.loop import Trainer
+
+    hp2 = dict(hp)
+    hp2.update({
+        "exp_name": "profiled",
+        "out_dir": str(tmp_path / "out"),
+        "train.profile_at": 4,
+        "train.profile_steps": 2,
+        "max_steps": 8,
+    })
+    trainer = Trainer(hp2)
+    trainer.fit(log_every=100)
+    prof_dir = os.path.join(hp2["out_dir"], "toy", "profiled", "profile")
+    traces = glob.glob(
+        os.path.join(prof_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    assert traces, f"no trace written under {prof_dir}"

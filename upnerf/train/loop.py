@@ -280,6 +280,14 @@ class Trainer:
         last_saved = None
         step = int(self.state.step)
         restore_handlers = self._install_preemption_handlers()
+        # On-demand device trace (A1 profiling/tracing; richer than the
+        # reference's Lightning `profiler="simple"` wall-time table,
+        # train.py:75): train.profile_at=N captures train.profile_steps
+        # steady-state steps into <run>/profile/ as a chrome-trace the
+        # scripts/profile_train_step.py parser (or Perfetto) reads.
+        profile_at = int(self.hp.get("train.profile_at", 0) or 0)
+        profile_steps = int(self.hp.get("train.profile_steps", 3))
+        profile_until = None
         try:
             while step < max_steps:
                 phase = schedule_phase(
@@ -296,6 +304,27 @@ class Trainer:
                     )
                 step += 1
                 window_rays += self.cfg.batch_size
+
+                if profile_at and step == profile_at:
+                    # sync first so the trace holds only steady-state steps
+                    float(jax.device_get(self.state.step))
+                    trace_dir = os.path.join(self.save_dir, "profile")
+                    if self.multiprocess:  # one trace dir per controller
+                        trace_dir += f"-proc{jax.process_index()}"
+                    jax.profiler.start_trace(trace_dir)
+                    profile_until = step + profile_steps
+                if profile_until is not None and step >= profile_until:
+                    # data-dependent fetch: the profiled steps must have
+                    # executed before the trace closes (axon-relay rule)
+                    float(jax.device_get(self.state.step))
+                    jax.profiler.stop_trace()
+                    profile_until = None
+                    if self.is_main:
+                        print(
+                            f"[upnerf] device trace ({profile_steps} steps "
+                            f"from {profile_at}) -> "
+                            f"{os.path.join(self.save_dir, 'profile')}"
+                        )
 
                 if step % log_every == 0 or step == max_steps:
                     # one batched device->host fetch (scalar round-trips
@@ -354,6 +383,8 @@ class Trainer:
                         )
                     break
         finally:
+            if profile_until is not None:  # fit ended mid-capture
+                jax.profiler.stop_trace()
             if restore_handlers:
                 import signal as _signal
 
