@@ -292,3 +292,48 @@ class TestDeterminism:
         assert float(m_a2["loss"]) == float(m_b2["loss"])
         for x, y in zip(jax.tree.leaves(s_a2.params), jax.tree.leaves(s_b2.params)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestDepthScaleReg:
+    def test_opt_in_regularizer(self, setup):
+        """loss.depth_scale_reg (default 0 = exact reference loss) adds a
+        variance penalty on the per-image log depth scales; its gradient
+        pulls spread scales toward their mean."""
+        cfg, scene, store, state, _, _ = setup
+        from upnerf.train import make_train_step
+        from upnerf.train.state import TrainState
+
+        import optax
+
+        from upnerf.train.step import gather_batch
+
+        cfg_reg = cfg._replace(loss=cfg.loss._replace(depth_scale_reg=2.0))
+        # spread the per-image scales so the penalty is active
+        spread = jnp.linspace(-0.5, 0.5, state.pose_params["se3"].shape[0])
+        pose_params = dict(state.pose_params)
+        pose_params["depth_scale"] = (
+            jnp.zeros_like(state.pose_params["depth_scale"])
+            .at[:, 0].set(spread)
+        )
+        opt = optax.adam(1e-3)
+        pose_opt = optax.adam(1e-3)
+        _, batch_step = make_train_step(cfg_reg, opt, pose_opt)
+        st = TrainState(
+            step=state.step, params=state.params, pose_params=pose_params,
+            opt_state=opt.init(state.params),
+            pose_opt_state=pose_opt.init(pose_params),
+            rng=state.rng,
+        )
+        batch = gather_batch(store, jnp.arange(cfg.batch_size))
+        s1, m = batch_step(st, scene, batch, 1)
+        reg = float(m["loss/l_dscale_reg"])
+        assert reg == pytest.approx(2.0 * float(jnp.var(spread)), rel=1e-5)
+        # the update shrinks the spread
+        v0 = float(jnp.var(pose_params["depth_scale"][:, 0]))
+        v1 = float(jnp.var(s1.pose_params["depth_scale"][:, 0]))
+        assert v1 < v0
+
+        # default off: no term, bit-identical reference loss surface
+        _, batch_step0 = make_train_step(cfg, opt, pose_opt)
+        _, m0 = batch_step0(st, scene, batch, 1)
+        assert "loss/l_dscale_reg" not in m0

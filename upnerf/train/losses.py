@@ -34,6 +34,12 @@ class LossConfig(NamedTuple):
     alpha_reg: float = 1.0
     encode_feat: bool = True
     fine: bool = True
+    # OPT-IN (default 0 = exact reference loss): variance penalty on the
+    # per-image log depth scales. The identity-init study found the
+    # residual pose error is an arc contraction that per-image scale/shift
+    # freedom cannot pin (docs/DESIGN.md "Identity-init pose recovery");
+    # tying the scales together anchors the global scale gauge.
+    depth_scale_reg: float = 0.0
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "LossConfig":
@@ -42,6 +48,7 @@ class LossConfig(NamedTuple):
             alpha_reg=hp["loss.alpha_reg"],
             encode_feat=hp["nerf.feat_dim"] > 0,
             fine=hp["nerf.N_importance"] > 0,
+            depth_scale_reg=hp.get("loss.depth_scale_reg", 0.0),
         )
 
 

@@ -219,6 +219,13 @@ def _loss_and_metrics(
     loss_d = compute_loss(
         cfg.loss, results, batch["rgb"], feats, pred_depths, sched_mult, phase
     )
+    if cfg.loss.depth_scale_reg > 0:
+        # Opt-in global-scale anchor (LossConfig.depth_scale_reg): penalize
+        # the spread of the per-image log depth scales. Computed on the
+        # replicated table, so under shard_map the term (and its gradient)
+        # is identical on every shard and pmean leaves it unchanged.
+        log_scale = pose_params["depth_scale"][:, 0]
+        loss_d["l_dscale_reg"] = cfg.loss.depth_scale_reg * jnp.var(log_scale)
     loss = sum(loss_d.values())
 
     metrics = {f"loss/{k}": v for k, v in loss_d.items()}
