@@ -54,6 +54,19 @@ RECIPES = {
         "overrides": {},
         "default_steps": 60000,
     },
+    # DESIGN.md "Resolution x coverage study": 2x resolution AND 2x ray
+    # budget break the old 9.2-deg floor (expect ~7 deg at 90k steps,
+    # still descending; batch 1024 at this resolution REGRESSES to ~12.6).
+    "identity_hires": {
+        "config": "configs/validation/synth_identity.yaml",
+        "scene_dir": "outputs_validation/scene_identity_hi",
+        "scene_kwargs": dict(
+            n_train=32, n_test=2, H=256, W=320, feat_hw=64, feat_dim=32,
+            focal=320.0, arc=0.25, feature_mode="world",
+        ),
+        "overrides": {"train.batch_size": 2048},
+        "default_steps": 90000,
+    },
 }
 
 
