@@ -86,7 +86,6 @@ def quality(result_dir: str, fast_div: int = 2, n_views: int = 3,
             out[name] = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
         rows.append(out)
         print(f"view {i}: full {out['full']:.2f} dB, fast {out['fast']:.2f} dB")
-    import numpy as np
 
     full = float(np.mean([r["full"] for r in rows]))
     fastp = float(np.mean([r["fast"] for r in rows]))

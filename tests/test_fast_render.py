@@ -142,3 +142,18 @@ def test_pose_renderer_fast_consistency(tiny_model):
     )
     assert np.isfinite(rgb_c).all() and np.isfinite(depth_c).all()
     assert (rgb_c >= 0).all() and (rgb_c <= 1).all()
+
+
+def test_tighten_last_bin_spike_pad0_keeps_width():
+    """Regression: with pad=0 and all probe mass in the LAST bin, the
+    clamp must not collapse the interval to zero width at `far` (the
+    widening now happens after the clamp, by lowering z_lo)."""
+    P = 16
+    z = jnp.broadcast_to(jnp.linspace(1.0, 4.0, P), (1, P))
+    w = jnp.zeros((1, P)).at[0, P - 1].set(0.8)
+    z_lo, z_hi = tighten_from_weights(
+        z, w, jnp.full((1, 1), 1.0), jnp.full((1, 1), 4.0),
+        eps=1e-3, pad=0, min_mass=1e-2,
+    )
+    assert float(z_hi[0, 0]) <= 4.0 + 1e-6
+    assert float(z_hi[0, 0] - z_lo[0, 0]) >= 5e-5  # f32 rounding

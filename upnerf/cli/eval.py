@@ -47,24 +47,32 @@ def main(args) -> None:
         print("Dataset does not have GT poses. Skip pose evaluation.")
 
     # Single-host TTO writes metrics.json; multi-host shards
-    # (tto --shard i/n) each write metrics.shard{i}of{n}.json — merge all.
+    # (tto --shard i/n) each write metrics.shard{i}of{n}.json. Merge
+    # shards FIRST so a full single-host metrics.json (e.g. a later
+    # complete re-run) overrides stale shard leftovers per image; list
+    # the merged files so a partial shard set is visible.
     import glob
 
     save_root = os.path.join(args.result_dir, "a_optimize")
-    paths = sorted(
-        p
-        for p in glob.glob(os.path.join(save_root, "metrics*.json"))
-        if os.path.basename(p) == "metrics.json"
-        or os.path.basename(p).startswith("metrics.shard")
+    shard_paths = sorted(
+        glob.glob(os.path.join(save_root, "metrics.shard*.json"))
     )
+    full_path = os.path.join(save_root, "metrics.json")
+    paths = shard_paths + ([full_path] if os.path.isfile(full_path) else [])
     if not paths:
-        print(f"There is no {os.path.join(save_root, 'metrics.json')}.")
+        print(f"There is no {full_path}.")
         print("You should run upnerf.cli.tto for getting NVS results.")
         return
     m = {}
     for p in paths:
         with open(p) as f:
             m.update(json.load(f))
+    if shard_paths:
+        print(
+            f"merged {len(paths)} metrics file(s) "
+            f"({', '.join(os.path.basename(p) for p in paths)}): "
+            f"{len(m)} images"
+        )
     psnr = [v["psnr"] for v in m.values()]
     ssim = [v["ssim"] for v in m.values()]
     lpips = [v["lpips"] for v in m.values() if v.get("lpips") is not None]

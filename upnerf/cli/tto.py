@@ -237,7 +237,9 @@ def main(args) -> None:
             }
         with open(results_path, "w") as f:
             json.dump(all_metrics, f, indent=1)
-        done = len(all_metrics)
+        # count only THIS run's selection: a resumed metrics file may hold
+        # images outside the current --optimize_num/--shard scope
+        done = sum(1 for n in nums if str(n) in all_metrics)
         print(f"[tto] {done}/{len(nums)} images done -> {results_path}")
 
 

@@ -76,10 +76,14 @@ def tighten_from_weights(
     hi_i = jnp.minimum(hi_i + pad, P - 1)
     z_lo = jnp.take_along_axis(z_vals, lo_i[:, None], axis=-1)
     z_hi = jnp.take_along_axis(z_vals, hi_i[:, None], axis=-1)
-    z_hi = jnp.maximum(z_hi, z_lo + 1e-4)
     keep_full = total <= min_mass
     z_lo = jnp.where(keep_full, near, jnp.maximum(z_lo, near))
     z_hi = jnp.where(keep_full, far, jnp.minimum(z_hi, far))
+    # Non-degenerate interval INSIDE [near, far]: widening z_hi before the
+    # far clamp would let the clamp collapse it back to zero width when
+    # all probe mass sits in the last bin (pad=0), so enforce the minimum
+    # width by lowering z_lo after clamping instead.
+    z_lo = jnp.minimum(z_lo, z_hi - 1e-4)
     return z_lo, z_hi
 
 

@@ -88,9 +88,13 @@ class Trainer:
         # (0 = all). "tpu.data_axis" is the deprecated round-1 name.
         n_dev = hparams.get("tpu.n_devices", hparams.get("tpu.data_axis", 0))
         if self.multiprocess:
-            assert not n_dev or n_dev == len(jax.devices()), (
-                "tpu.n_devices cannot sub-slice the mesh in multi-process "
-                "runs: every process's devices must join the global mesh"
+            # tpu.n_devices is documented as LOCAL devices — a config that
+            # uses all of this host's devices is valid on any slice size;
+            # only actual sub-slicing is unsupported multi-process.
+            assert not n_dev or n_dev == len(jax.local_devices()), (
+                "tpu.n_devices cannot sub-slice a host in multi-process "
+                "runs: every process's local devices must join the global "
+                f"mesh (got {n_dev}, host has {len(jax.local_devices())})"
             )
             n_dev = 0
         self.mesh = make_mesh(n_dev or 0)
@@ -308,10 +312,10 @@ class Trainer:
                 if profile_at and step == profile_at:
                     # sync first so the trace holds only steady-state steps
                     float(jax.device_get(self.state.step))
-                    trace_dir = os.path.join(self.save_dir, "profile")
+                    profile_dir = os.path.join(self.save_dir, "profile")
                     if self.multiprocess:  # one trace dir per controller
-                        trace_dir += f"-proc{jax.process_index()}"
-                    jax.profiler.start_trace(trace_dir)
+                        profile_dir += f"-proc{jax.process_index()}"
+                    jax.profiler.start_trace(profile_dir)
                     profile_until = step + profile_steps
                 if profile_until is not None and step >= profile_until:
                     # data-dependent fetch: the profiled steps must have
@@ -322,8 +326,7 @@ class Trainer:
                     if self.is_main:
                         print(
                             f"[upnerf] device trace ({profile_steps} steps "
-                            f"from {profile_at}) -> "
-                            f"{os.path.join(self.save_dir, 'profile')}"
+                            f"from {profile_at}) -> {profile_dir}"
                         )
 
                 if step % log_every == 0 or step == max_steps:

@@ -338,7 +338,7 @@ def convert_reference_run(
     hparams come from --config when given, else from the checkpoint's own
     Lightning ``hyper_parameters`` (the reference and this repo share the
     flat dotted-key config schema)."""
-    sd, ckpt_hparams, step = load_reference_ckpt(ckpt_path)
+    sd, ckpt_hparams, global_step = load_reference_ckpt(ckpt_path)
     params, pose_params, meta = convert_state_dict(sd)
     if config_path is not None:
         from upnerf.config import get_from_path
@@ -351,6 +351,28 @@ def convert_reference_run(
             "checkpoint has no hyper_parameters; pass --config <yaml>"
         )
     _check_scene_image_count(hparams, meta["n_images"], log)
+    # Lightning counts each of the two optimizer steps under pose
+    # optimization, so the reference's global_step is 2x the number of
+    # BATCHES (train.py:59-62; progress normalized by max_steps*2,
+    # models/nerf_system.py:222-224). Our `step` counts batches — halve
+    # accordingly (the reverse exporter applies the inverse mapping, so
+    # model -> export round-trips), and cross-check against the
+    # checkpoint's own BARF `progress` scalar, which the schedules
+    # actually consumed.
+    step = (
+        global_step // 2
+        if hparams.get("pose.optimize", True)
+        else global_step
+    )
+    if meta["progress"] and hparams.get("max_steps"):
+        from_progress = meta["progress"] * float(hparams["max_steps"])
+        if abs(from_progress - step) > max(1.0, 0.01 * step):
+            log(
+                f"note: checkpoint progress={meta['progress']:.4f} implies "
+                f"step ~{from_progress:.0f} but global_step maps to {step}; "
+                "keeping the global_step mapping (schedules resume from "
+                "`step`, so a mismatch shifts the anneal)"
+            )
     write_framework_ckpt(
         result_dir, hparams, params, pose_params, meta["n_images"], step
     )
