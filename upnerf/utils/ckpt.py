@@ -76,13 +76,31 @@ class CheckpointManager:
 
     def restore_raw(self, step: Optional[int] = None) -> Any:
         """Restore WITHOUT a target: returns the saved pytree as plain
-        arrays (state fields as a dict). Lets consumers read a checkpoint
-        when the model/scene context needed to build a target state isn't
-        available (e.g. the reverse checkpoint exporter)."""
+        NUMPY arrays (state fields as a dict). Lets consumers read a
+        checkpoint when the model/scene context needed to build a target
+        state isn't available (e.g. the reverse checkpoint exporter).
+
+        Forces numpy restore per leaf instead of replaying the SAVED
+        shardings — a target-free StandardRestore resolves the sharding
+        file's devices, which fails off the training topology (e.g.
+        exporting a TPU-trained run on a CPU-only host)."""
+        import numpy as np
+
         if step is None:
             step = self.latest_step()
         assert step is not None, f"no checkpoint in {self.directory}"
-        return self._mngr.restore(step, args=ocp.args.StandardRestore())
+        item_dir = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        meta = ckptr.metadata(item_dir)
+        tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") else meta
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray),
+            tree,
+            is_leaf=lambda x: hasattr(x, "shape"),
+        )
+        return ckptr.restore(
+            item_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
 
     def close(self):
         self._mngr.close()
