@@ -16,8 +16,11 @@ Usage (from the repo root):
   python scripts/pose_protocol.py --recipe identity --steps 60000
   # options: --seeds 42,777,1234   --tag mylabel
 
-Writes outputs_validation/pose_protocol_<recipe><tag>.json and prints a
-summary table.
+Writes benchmarks/pose_protocol_<recipe><tag>.json (a COMMITTED path —
+the scenes/runs under outputs_validation/ are gitignored scratch, but the
+protocol summaries are benchmark evidence and travel with the repo) and
+prints a summary table. Each run records its full (step, rel-R, rel-t)
+descent trace so the curves are auditable without the run directories.
 """
 
 import argparse
@@ -112,6 +115,17 @@ def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
             min(r["train/pose_R_rel"] for r in rows), 2
         ),
         "steps": steps,
+        # Full descent curve: the run directories under outputs_validation/
+        # are scratch, so the evidence for "still descending" / "stalls at
+        # its 90k value" style claims lives here.
+        "trace": [
+            [
+                int(r["step"]),
+                round(r["train/pose_R_rel"], 2),
+                round(r["train/pose_t_rel"], 3),
+            ]
+            for r in rows
+        ],
     }
 
 
@@ -144,10 +158,20 @@ def main():
 
     finals = np.array([r["final_rel_R_deg"] for r in results])
     finals_t = np.array([r["final_rel_t"] for r in results])
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        commit = ""
     summary = {
         "recipe": args.recipe,
         "steps": steps,
         "seeds": seeds,
+        "git_commit": commit,
         "final_rel_R_deg": {
             "median": round(float(np.median(finals)), 2),
             "min": round(float(finals.min()), 2),
@@ -161,9 +185,9 @@ def main():
         "runs": results,
     }
     out = os.path.join(
-        "outputs_validation", f"pose_protocol_{args.recipe}{args.tag}.json"
+        "benchmarks", f"pose_protocol_{args.recipe}{args.tag}.json"
     )
-    os.makedirs("outputs_validation", exist_ok=True)
+    os.makedirs("benchmarks", exist_ok=True)
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary["final_rel_R_deg"]))

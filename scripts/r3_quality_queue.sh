@@ -30,12 +30,12 @@ for seed in 42 777; do
   grep "val/psnr" "$out" | tail -2
 done
 
-if [ ! -f outputs_validation/pose_protocol_pose.json ]; then
+if [ ! -f benchmarks/pose_protocol_pose.json ]; then
   echo "=== pose protocol (3 seeds x 15k) ==="
   python scripts/pose_protocol.py --recipe pose --steps 15000
 fi
 
-if [ ! -f outputs_validation/pose_protocol_identity.json ]; then
+if [ ! -f benchmarks/pose_protocol_identity.json ]; then
   echo "=== identity protocol (3 seeds x 60k) ==="
   python scripts/pose_protocol.py --recipe identity --steps 60000
 fi
