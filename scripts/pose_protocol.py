@@ -139,7 +139,11 @@ def main():
 
     recipe = RECIPES[args.recipe]
     seeds = [int(s) for s in args.seeds.split(",")]
-    assert len(seeds) >= 3, "protocol requires >=3 seeds"
+    # The protocol proper is >=3 seeds; a --tag'd run may use fewer (e.g. a
+    # single-seed schedule-length extension of an existing 3-seed artifact).
+    assert len(seeds) >= 3 or args.tag, (
+        "protocol requires >=3 seeds (or pass --tag for a study extension)"
+    )
     steps = args.steps or recipe["default_steps"]
 
     if not os.path.isdir(recipe["scene_dir"]):
