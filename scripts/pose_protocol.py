@@ -74,7 +74,18 @@ RECIPES = {
 
 
 def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
-    """One training run; returns {seed, init/final rel-R (deg) and rel-t}."""
+    """One training run; returns {seed, init/final rel-R (deg) and rel-t}.
+
+    Idempotent at the seed level: a run directory whose metrics log already
+    reaches `steps` is summarized without retraining; a partial run with
+    checkpoints auto-resumes (the Trainer restores the latest ckpt and the
+    metrics sink appends); a partial run WITHOUT checkpoints (e.g. killed
+    mid-flight through a relay hang before the first ckpt) is wiped so the
+    fresh run's trace is clean. This lets a crashed protocol invocation be
+    re-issued verbatim and only redo the missing seeds.
+    """
+    import shutil
+
     import numpy as np
 
     from upnerf.cli.train import main as train_main
@@ -95,14 +106,55 @@ def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
         # pose logging is the measurement; keep everything else cheap
         "train.log_pose_interval": max(500, steps // 30),
         "val.log_interval": 10**9,
-        "train.ckpt_interval": steps,
+        # Intermediate ckpts bound the cost of a mid-run crash/hang; the
+        # Trainer's auto-resume picks them up on the re-issued command.
+        "train.ckpt_interval": min(steps, 50000),
     })
-    np.random.seed(seed)
-    train_main(hp)
 
-    mfile = os.path.join(hp["out_dir"], hp["scene_name"], exp, "metrics.jsonl")
+    run_dir = os.path.join(hp["out_dir"], hp["scene_name"], exp)
+    mfile = os.path.join(run_dir, "metrics.jsonl")
+    done = False
+    if os.path.exists(mfile):
+        prev = [json.loads(l) for l in open(mfile) if "pose_R_rel" in l]
+        ckpt_dir = os.path.join(run_dir, "ckpts")
+        has_ckpt = os.path.isdir(ckpt_dir) and len(os.listdir(ckpt_dir)) > 0
+        # Reuse/resume only a run trained under the SAME schedule: the lr
+        # decay, c2f annealing, and candidate schedule all key off
+        # max_steps, so a longer run is NOT a superset of a shorter one.
+        same_schedule = False
+        cfg_file = os.path.join(run_dir, "config.yaml")
+        if os.path.exists(cfg_file):
+            import yaml
+
+            saved = yaml.safe_load(open(cfg_file))
+            same_schedule = int(saved.get("max_steps", -1)) == steps
+        if same_schedule and prev and prev[-1]["step"] >= steps:
+            print(f"[protocol]   reusing completed run {run_dir}")
+            done = True
+        elif same_schedule and has_ckpt:
+            print(f"[protocol]   resuming partial run {run_dir}")
+        else:
+            print(f"[protocol]   wiping stale run {run_dir}")
+            shutil.rmtree(run_dir)
+
+    if not done:
+        np.random.seed(seed)
+        train_main(hp)
+
     rows = [json.loads(l) for l in open(mfile) if "pose_R_rel" in l]
+    rows = [r for r in rows if r["step"] <= steps]
     assert rows, f"no pose logs in {mfile}"
+    # Guard the graceful-preemption path: SIGTERM makes the Trainer
+    # checkpoint and RETURN cleanly mid-run; a partial trajectory must
+    # never be summarized as final. Raising lets a supervisor re-issue
+    # the command, which resumes from the shutdown checkpoint.
+    log_int = max(500, steps // 30)
+    expect_last = (steps // log_int) * log_int
+    if rows[-1]["step"] < expect_last:
+        raise RuntimeError(
+            f"run {run_dir} stopped at step {rows[-1]['step']} < {steps} "
+            "(preempted?); re-issue to resume from its checkpoint"
+        )
     first, last = rows[0], rows[-1]
     return {
         "seed": seed,
