@@ -73,16 +73,45 @@ RECIPES = {
 }
 
 
+def plan_run(run_dir: str, steps: int) -> str:
+    """Decide how to treat an existing run directory: 'reuse' (complete,
+    same schedule), 'resume' (partial with checkpoints, same schedule),
+    or 'fresh' (absent, stale-schedule, or partial without checkpoints).
+
+    Only a run trained under the SAME schedule is reusable/resumable: the
+    lr decay, c2f annealing, and candidate schedule all key off max_steps,
+    so a longer run is NOT a superset of a shorter one.
+    """
+    mfile = os.path.join(run_dir, "metrics.jsonl")
+    if not os.path.exists(mfile):
+        return "fresh"
+    cfg_file = os.path.join(run_dir, "config.yaml")
+    if not os.path.exists(cfg_file):
+        return "fresh"
+    import yaml
+
+    saved = yaml.safe_load(open(cfg_file))
+    if int(saved.get("max_steps", -1)) != steps:
+        return "fresh"
+    prev = [json.loads(l) for l in open(mfile) if "pose_R_rel" in l]
+    if prev and prev[-1]["step"] >= steps:
+        return "reuse"
+    ckpt_dir = os.path.join(run_dir, "ckpts")
+    if os.path.isdir(ckpt_dir) and len(os.listdir(ckpt_dir)) > 0:
+        return "resume"
+    return "fresh"
+
+
 def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
     """One training run; returns {seed, init/final rel-R (deg) and rel-t}.
 
-    Idempotent at the seed level: a run directory whose metrics log already
-    reaches `steps` is summarized without retraining; a partial run with
-    checkpoints auto-resumes (the Trainer restores the latest ckpt and the
-    metrics sink appends); a partial run WITHOUT checkpoints (e.g. killed
-    mid-flight through a relay hang before the first ckpt) is wiped so the
-    fresh run's trace is clean. This lets a crashed protocol invocation be
-    re-issued verbatim and only redo the missing seeds.
+    Idempotent at the seed level (plan_run): a run directory whose metrics
+    log already reaches `steps` is summarized without retraining; a partial
+    run with checkpoints auto-resumes (the Trainer restores the latest ckpt
+    and the metrics sink appends); a partial run WITHOUT checkpoints (e.g.
+    killed mid-flight through a relay hang before the first ckpt) is wiped
+    so the fresh run's trace is clean. This lets a crashed protocol
+    invocation be re-issued verbatim and only redo the missing seeds.
     """
     import shutil
 
@@ -113,31 +142,12 @@ def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
 
     run_dir = os.path.join(hp["out_dir"], hp["scene_name"], exp)
     mfile = os.path.join(run_dir, "metrics.jsonl")
-    done = False
-    if os.path.exists(mfile):
-        prev = [json.loads(l) for l in open(mfile) if "pose_R_rel" in l]
-        ckpt_dir = os.path.join(run_dir, "ckpts")
-        has_ckpt = os.path.isdir(ckpt_dir) and len(os.listdir(ckpt_dir)) > 0
-        # Reuse/resume only a run trained under the SAME schedule: the lr
-        # decay, c2f annealing, and candidate schedule all key off
-        # max_steps, so a longer run is NOT a superset of a shorter one.
-        same_schedule = False
-        cfg_file = os.path.join(run_dir, "config.yaml")
-        if os.path.exists(cfg_file):
-            import yaml
+    plan = plan_run(run_dir, steps)
+    print(f"[protocol]   plan for {run_dir}: {plan}")
+    if plan == "fresh" and os.path.isdir(run_dir):
+        shutil.rmtree(run_dir)
 
-            saved = yaml.safe_load(open(cfg_file))
-            same_schedule = int(saved.get("max_steps", -1)) == steps
-        if same_schedule and prev and prev[-1]["step"] >= steps:
-            print(f"[protocol]   reusing completed run {run_dir}")
-            done = True
-        elif same_schedule and has_ckpt:
-            print(f"[protocol]   resuming partial run {run_dir}")
-        else:
-            print(f"[protocol]   wiping stale run {run_dir}")
-            shutil.rmtree(run_dir)
-
-    if not done:
+    if plan != "reuse":
         np.random.seed(seed)
         train_main(hp)
 
