@@ -73,6 +73,78 @@ RECIPES = {
 }
 
 
+def artifact_path(recipe_name: str, tag: str) -> str:
+    return os.path.join(
+        "benchmarks", f"pose_protocol_{recipe_name}{tag}.json"
+    )
+
+
+def load_prior_runs(path: str, recipe_name: str, steps: int) -> dict:
+    """Completed per-seed results from an existing (possibly partial)
+    protocol artifact, keyed by seed.
+
+    The run directories under outputs_validation/ are wiped with the
+    scratch between sessions, but the committed artifact survives — so a
+    protocol invocation that died mid-way (e.g. 2 of 3 seeds done) can be
+    re-issued and only train the missing seeds. Only runs measured under
+    the SAME recipe and schedule are reusable (max_steps drives the
+    lr/c2f/candidate schedules — see plan_run).
+    """
+    if not os.path.exists(path):
+        return {}
+    try:
+        prior = json.load(open(path))
+    except (json.JSONDecodeError, OSError):
+        return {}
+    if prior.get("recipe") != recipe_name or prior.get("steps") != steps:
+        return {}
+    return {
+        r["seed"]: r for r in prior.get("runs", [])
+        if r.get("steps") == steps and "trace" in r
+    }
+
+
+def write_summary(out: str, recipe_name: str, steps: int, seeds: list,
+                  results: list, commit: str) -> dict:
+    """Write the protocol artifact. Called after EVERY completed seed (not
+    only at the end) so a crash/preemption/session wipe loses at most the
+    in-flight seed; a partial artifact carries `"partial": true` and the
+    seeds still missing, and is never mistaken for the finished protocol.
+    """
+    import numpy as np
+
+    finals = np.array([r["final_rel_R_deg"] for r in results])
+    finals_t = np.array([r["final_rel_t"] for r in results])
+    done = [r["seed"] for r in results]
+    summary = {
+        "recipe": recipe_name,
+        "steps": steps,
+        "seeds": seeds,
+        "git_commit": commit,
+        "final_rel_R_deg": {
+            "median": round(float(np.median(finals)), 2),
+            "min": round(float(finals.min()), 2),
+            "max": round(float(finals.max()), 2),
+        },
+        "final_rel_t": {
+            "median": round(float(np.median(finals_t)), 3),
+            "min": round(float(finals_t.min()), 3),
+            "max": round(float(finals_t.max()), 3),
+        },
+        "runs": results,
+    }
+    missing = [s for s in seeds if s not in done]
+    if missing:
+        summary["partial"] = True
+        summary["seeds_missing"] = missing
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f, indent=2)
+    os.replace(tmp, out)
+    return summary
+
+
 def plan_run(run_dir: str, steps: int) -> str:
     """Decide how to treat an existing run directory: 'reuse' (complete,
     same schedule), 'resume' (partial with checkpoints, same schedule),
@@ -102,7 +174,8 @@ def plan_run(run_dir: str, steps: int) -> str:
     return "fresh"
 
 
-def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
+def run_one(recipe: dict, seed: int, steps: int, tag: str,
+            prior: dict = None) -> dict:
     """One training run; returns {seed, init/final rel-R (deg) and rel-t}.
 
     Idempotent at the seed level (plan_run): a run directory whose metrics
@@ -144,6 +217,14 @@ def run_one(recipe: dict, seed: int, steps: int, tag: str) -> dict:
     mfile = os.path.join(run_dir, "metrics.jsonl")
     plan = plan_run(run_dir, steps)
     print(f"[protocol]   plan for {run_dir}: {plan}")
+    if plan == "fresh" and prior is not None:
+        # The scratch run is gone (session wipe) but a committed artifact
+        # already holds this seed's completed measurement under the same
+        # recipe + schedule: reuse it instead of retraining. A live
+        # scratch run (reuse/resume) always takes precedence — it carries
+        # the ground-truth metrics log.
+        print(f"[protocol]   seed {seed}: reusing committed artifact run")
+        return dict(prior, reused_from_artifact=True)
     if plan == "fresh" and os.path.isdir(run_dir):
         shutil.rmtree(run_dir)
 
@@ -214,16 +295,6 @@ def main():
         print(f"[protocol] generating scene {recipe['scene_dir']}")
         synthetic.generate_scene(recipe["scene_dir"], **recipe["scene_kwargs"])
 
-    results = []
-    for seed in seeds:
-        print(f"[protocol] {args.recipe} seed {seed} ({steps} steps)...")
-        results.append(run_one(recipe, seed, steps, args.tag))
-        print(f"[protocol]   -> {results[-1]}")
-
-    import numpy as np
-
-    finals = np.array([r["final_rel_R_deg"] for r in results])
-    finals_t = np.array([r["final_rel_t"] for r in results])
     try:
         import subprocess
 
@@ -233,31 +304,26 @@ def main():
         ).stdout.strip()
     except Exception:
         commit = ""
-    summary = {
-        "recipe": args.recipe,
-        "steps": steps,
-        "seeds": seeds,
-        "git_commit": commit,
-        "final_rel_R_deg": {
-            "median": round(float(np.median(finals)), 2),
-            "min": round(float(finals.min()), 2),
-            "max": round(float(finals.max()), 2),
-        },
-        "final_rel_t": {
-            "median": round(float(np.median(finals_t)), 3),
-            "min": round(float(finals_t.min()), 3),
-            "max": round(float(finals_t.max()), 3),
-        },
-        "runs": results,
-    }
-    out = os.path.join(
-        "benchmarks", f"pose_protocol_{args.recipe}{args.tag}.json"
-    )
-    os.makedirs("benchmarks", exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(summary, f, indent=2)
+
+    out = artifact_path(args.recipe, args.tag)
+    prior_runs = load_prior_runs(out, args.recipe, steps)
+    if prior_runs:
+        print(f"[protocol] prior artifact holds seeds "
+              f"{sorted(prior_runs)} at {steps} steps")
+
+    results = []
+    for seed in seeds:
+        print(f"[protocol] {args.recipe} seed {seed} ({steps} steps)...")
+        results.append(
+            run_one(recipe, seed, steps, args.tag, prior_runs.get(seed))
+        )
+        print(f"[protocol]   -> {results[-1]}")
+        summary = write_summary(out, args.recipe, steps, seeds, results,
+                                commit)
+        print(f"[protocol] wrote {out} "
+              f"({len(results)}/{len(seeds)} seeds)")
+
     print(json.dumps(summary["final_rel_R_deg"]))
-    print(f"[protocol] wrote {out}")
 
 
 if __name__ == "__main__":
