@@ -1,0 +1,87 @@
+#!/bin/sh
+# Serial TPU job queue with stall detection and bounded retries.
+#
+# Replaces the per-session session_queue*.sh drivers (VERDICT r3 hygiene):
+# the queue of record lives in docs/ROADMAP.md; this runner just executes
+# one session's worth of it. Usage:
+#
+#   sh scripts/tpu_queue.sh jobs.txt        # one command per line
+#   sh scripts/tpu_queue.sh -- python scripts/pose_protocol.py --recipe pose
+#
+# Contract (CLAUDE.md): never two TPU jobs concurrently — jobs run strictly
+# serially, and anything else touching the TPU must be queued HERE (no
+# external pid-file conventions; the r3 queue's /tmp/bench.pid gate was a
+# convention nothing else wrote — ADVICE r3). python children run with -u
+# so log mtime reliably reflects liveness during long remote compiles.
+#
+# Stall detection: a job with no writes to its log, outputs_validation/,
+# benchmarks/, or the compile cache for STALL_MIN minutes is killed and
+# retried (TRIES total). First attempt gets 2x STALL_MIN: a cold-cache
+# remote compile can legitimately stay quiet for many minutes (ADVICE r3).
+set -u
+cd "$(dirname "$0")/.." || exit 1
+
+STALL_MIN=${STALL_MIN:-30}
+TRIES=${TRIES:-3}
+LOG_DIR=${LOG_DIR:-/tmp/tpu_queue}
+mkdir -p "$LOG_DIR"
+
+run_job() {
+    # $1 = job index, rest = command
+    idx=$1; shift
+    log="$LOG_DIR/job$idx.log"
+    n=0
+    while [ "$n" -lt "$TRIES" ]; do
+        n=$((n + 1))
+        # first (cold-cache) attempt tolerates a longer quiet period
+        lim=$STALL_MIN
+        [ "$n" -eq 1 ] && lim=$((STALL_MIN * 2))
+        echo "[queue] job $idx attempt $n (stall limit ${lim}m): $*" \
+            | tee -a "$log"
+        PYTHONUNBUFFERED=1 "$@" >>"$log" 2>&1 &
+        pid=$!
+        while kill -0 "$pid" 2>/dev/null; do
+            sleep 60
+            fresh=$(find outputs_validation benchmarks /tmp/upnerf_jax_cache \
+                "$log" -type f -mmin "-$lim" 2>/dev/null | head -1)
+            if [ -z "$fresh" ]; then
+                echo "[queue] job $idx: no progress for ${lim}m; killing $pid" \
+                    | tee -a "$log"
+                kill "$pid" 2>/dev/null
+                sleep 5
+                kill -9 "$pid" 2>/dev/null
+                break
+            fi
+        done
+        wait "$pid"
+        rc=$?
+        if [ "$rc" -eq 0 ]; then
+            echo "[queue] job $idx done" | tee -a "$log"
+            return 0
+        fi
+        echo "[queue] job $idx attempt $n exited rc=$rc" | tee -a "$log"
+    done
+    echo "[queue] job $idx FAILED after $TRIES attempts (log: $log)"
+    return 1
+}
+
+if [ "${1:-}" = "--" ]; then
+    shift
+    run_job 0 "$@"
+    exit $?
+fi
+
+[ $# -eq 1 ] && [ -f "$1" ] || {
+    echo "usage: $0 <jobs-file> | $0 -- <command...>" >&2
+    exit 2
+}
+
+i=0
+status=0
+while IFS= read -r line; do
+    case "$line" in ''|'#'*) continue ;; esac
+    i=$((i + 1))
+    # shellcheck disable=SC2086 — job lines are trusted shell words
+    run_job "$i" sh -c "exec $line" || status=1
+done <"$1"
+exit $status

@@ -1,0 +1,236 @@
+"""TTO-success benchmark: train -> tto -> eval on a scene where TTO is
+EXPECTED to land near validation quality (VERDICT r3 next #1).
+
+The quality_protocol synth_small artifact proved the TTO protocol *runs*
+but its training never converges poses (8-view identity-init ring, rel-R
+~24 deg at 4k steps), so its post-TTO PSNR (≈12 dB vs val ≈23 dB) cannot
+distinguish "unconverged base model" from "broken sim3 alignment /
+left-right protocol". This protocol removes every confound:
+
+  - 32-view arc=0.5 ring (well-conditioned pose recovery), pose.noise
+    0.15, 15k steps  -> rel-R converges to 1-4 deg (CLAUDE.md recipe);
+  - 4 test views INTERLEAVED between train views (always inside the
+    reconstructed frustum union);
+  - the full reference pipeline exactly as a user runs it: train CLI ->
+    tto CLI (sim3 test-pose init, grouped phase A/B, left/right split,
+    reference tto.py:119-139) -> per-image right-half PSNR/SSIM.
+
+Success = post-TTO right-half PSNR within ~3 dB of the training val PSNR
+across >=2 seeds — proving align_test_poses (upnerf/evaluate/tto.py:47)
+and the left/right protocol (nerf_system_optmize.py:267-319,
+phototourism_optimize.py:191-235) end-to-end. The gap is recorded per
+seed; the pure alignment math is separately pinned by
+tests/test_tto.py::TestAlignTestPoses (exact nontrivial-sim3 recovery).
+
+Runs serially on the TPU (never two TPU jobs concurrently — CLAUDE.md).
+
+Usage (from the repo root):
+  python scripts/tto_protocol.py                 # seeds 42,777
+  python scripts/tto_protocol.py --seeds 42,777,1234 --steps 15000
+
+Writes benchmarks/tto_quality_protocol.json incrementally after every
+completed seed and reuses completed seeds from the artifact after a
+scratch wipe — the same resilience contract as pose_protocol.py.
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SPEC = importlib.util.spec_from_file_location(
+    "pose_protocol",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "pose_protocol.py"),
+)
+pose_protocol = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(pose_protocol)
+plan_run = pose_protocol.plan_run
+
+# Module-level so tests can monkeypatch the whole protocol down to a tiny
+# CPU-scale scene while driving the identical train->tto->eval glue.
+SCENE_DIR = "outputs_validation/scene_tto"
+SCENE_KWARGS = dict(
+    n_train=32, n_test=4, H=64, W=80, feat_hw=32, feat_dim=32, focal=80.0,
+    arc=0.5, interleave_test=True,
+)
+CONFIG = "configs/validation/synth_tto.yaml"
+OUT_DIR = "outputs_validation/out_tto"
+ARTIFACT = os.path.join("benchmarks", "tto_quality_protocol.json")
+TTO_KW = dict(batch_size=1024, group_size=4, pose_epochs=50,
+              appearance_epochs=20)
+PASS_GAP_DB = 3.0
+
+
+def run_one(seed: int, steps: int) -> dict:
+    """train -> tto -> eval for one seed; returns the quality row."""
+    import shutil
+
+    import numpy as np
+
+    from upnerf.cli.train import main as train_main
+    from upnerf.config import default, merge_from_file
+
+    hp = default()
+    merge_from_file(hp, CONFIG)
+    exp = f"tto_seed{seed}"
+    hp.update({
+        "seed": seed,
+        "exp_name": exp,
+        "max_steps": steps,
+        "root_dir": SCENE_DIR,
+        "feat_dir": os.path.join(SCENE_DIR, "DINO"),
+        "depth_dir": os.path.join(SCENE_DIR, "DPT"),
+        "out_dir": OUT_DIR,
+    })
+
+    run_dir = os.path.join(hp["out_dir"], hp["scene_name"], exp)
+    plan = plan_run(run_dir, steps)
+    print(f"[tto-protocol]   plan for {run_dir}: {plan}")
+    if plan == "fresh" and os.path.isdir(run_dir):
+        shutil.rmtree(run_dir)
+    if plan != "reuse":
+        np.random.seed(seed)
+        train_main(hp)
+
+    mfile = os.path.join(run_dir, "metrics.jsonl")
+    rows = [json.loads(l) for l in open(mfile)]
+    val = [r for r in rows if "val/psnr" in r]
+    assert val, f"no val logs in {mfile}"
+    pose = [r for r in rows if "train/pose_R_rel" in r]
+
+    # --- TTO on every test image (reference tto.py:119-139) -------------
+    tto_metrics_path = os.path.join(run_dir, "a_optimize", "metrics.json")
+    if not os.path.isfile(tto_metrics_path):
+        from upnerf.cli.tto import main as tto_main
+
+        tto_main(argparse.Namespace(
+            result_dir=run_dir, ckpt="last", optimize_num=-1, shard="0/1",
+            **TTO_KW,
+        ))
+    tto = json.load(open(tto_metrics_path))
+    assert tto, f"TTO produced no per-image metrics in {tto_metrics_path}"
+
+    val_psnr = round(val[-1]["val/psnr"], 2)
+    tto_psnr = round(float(np.mean([v["psnr"] for v in tto.values()])), 2)
+    row = {
+        "seed": seed,
+        "exp": exp,
+        "steps": steps,
+        "final_val_psnr": val_psnr,
+        "tto_psnr_mean": tto_psnr,
+        "tto_psnr_min": round(min(v["psnr"] for v in tto.values()), 2),
+        "tto_ssim_mean": round(
+            float(np.mean([v["ssim"] for v in tto.values()])), 4),
+        "gap_db": round(val_psnr - tto_psnr, 2),
+        "pass_3db": bool(val_psnr - tto_psnr <= PASS_GAP_DB),
+        "n_test_images": len(tto),
+    }
+    if pose:
+        row["init_rel_R_deg"] = round(pose[0]["train/pose_R_rel"], 2)
+        row["final_rel_R_deg"] = round(pose[-1]["train/pose_R_rel"], 2)
+        row["final_rel_t"] = round(pose[-1]["train/pose_t_rel"], 3)
+    return row
+
+
+def write_summary(out: str, steps: int, seeds: list, results: list,
+                  commit: str) -> dict:
+    import numpy as np
+
+    def stats(key, nd=2):
+        vals = np.array([r[key] for r in results])
+        return {
+            "median": round(float(np.median(vals)), nd),
+            "min": round(float(vals.min()), nd),
+            "max": round(float(vals.max()), nd),
+        }
+
+    summary = {
+        "recipe": "tto_quality",
+        "steps": steps,
+        "seeds": seeds,
+        "git_commit": commit,
+        "pass_3db_all": all(r["pass_3db"] for r in results),
+        "final_val_psnr": stats("final_val_psnr"),
+        "tto_psnr_mean": stats("tto_psnr_mean"),
+        "gap_db": stats("gap_db"),
+        "tto_ssim_mean": stats("tto_ssim_mean", nd=4),
+        "runs": results,
+    }
+    missing = [s for s in seeds if s not in [r["seed"] for r in results]]
+    if missing:
+        summary["partial"] = True
+        summary["seeds_missing"] = missing
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f, indent=2)
+    os.replace(tmp, out)
+    return summary
+
+
+def load_prior_runs(path: str, steps: int) -> dict:
+    if not os.path.exists(path):
+        return {}
+    try:
+        prior = json.load(open(path))
+    except (json.JSONDecodeError, OSError):
+        return {}
+    if prior.get("recipe") != "tto_quality" or prior.get("steps") != steps:
+        return {}
+    return {r["seed"]: r for r in prior.get("runs", [])
+            if r.get("steps") == steps}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="42,777")
+    ap.add_argument("--steps", type=int, default=15000)
+    args = ap.parse_args(argv)
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    if not os.path.isdir(SCENE_DIR):
+        from upnerf.data import synthetic
+
+        print(f"[tto-protocol] generating scene {SCENE_DIR}")
+        synthetic.generate_scene(SCENE_DIR, **SCENE_KWARGS)
+
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__),
+        ).stdout.strip()
+    except Exception:
+        commit = ""
+
+    prior_runs = load_prior_runs(ARTIFACT, args.steps)
+    results = []
+    for seed in seeds:
+        print(f"[tto-protocol] seed {seed} ({args.steps} steps)...")
+        if seed in prior_runs and plan_run(
+            os.path.join(OUT_DIR, "synth", f"tto_seed{seed}"),
+            args.steps,
+        ) == "fresh":
+            # Scratch gone but the committed artifact holds this seed.
+            print(f"[tto-protocol]   seed {seed}: reusing committed "
+                  "artifact run")
+            results.append(dict(prior_runs[seed], reused_from_artifact=True))
+        else:
+            results.append(run_one(seed, args.steps))
+        print(f"[tto-protocol]   -> {results[-1]}")
+        summary = write_summary(ARTIFACT, args.steps, seeds, results, commit)
+        print(f"[tto-protocol] wrote {ARTIFACT} "
+              f"({len(results)}/{len(seeds)} seeds)")
+
+    print(json.dumps({k: summary[k] for k in
+                      ("pass_3db_all", "final_val_psnr", "tto_psnr_mean",
+                       "gap_db")}))
+
+
+if __name__ == "__main__":
+    main()

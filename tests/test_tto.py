@@ -16,7 +16,100 @@ from upnerf.models import NeRFConfig, init_nerf
 from upnerf.render import RenderConfig
 
 
+def _centers(parsed):
+    """Camera centers of parsed (w2c) poses."""
+    c = jnp.zeros((1, 1, 3))
+    return np.asarray(se3.cam2world(c, parsed)[:, 0])
+
+
+def _gauge_parsed(parsed, Q, s, u):
+    """Apply a sim(3) gauge in parsed space: c' = s*(c@Q)+u, R' = R@Q —
+    the exact family prealign_cameras solves for."""
+    R = np.asarray(parsed[..., :3])
+    c = _centers(parsed)
+    R2 = R @ np.asarray(Q)
+    c2 = s * (c @ np.asarray(Q)) + np.asarray(u)
+    t2 = -(R2 @ c2[..., None])[..., 0]
+    return se3.make_pose(R=jnp.asarray(R2), t=jnp.asarray(t2))
+
+
 class TestAlignTestPoses:
+    def _random_raw(self, key, n, scale=0.5):
+        return se3.se3_to_SE3(jax.random.normal(key, (n, 6)) * scale)
+
+    def test_nontrivial_sim3_gauge_recovered_exactly(self):
+        """Fabricate a training result whose learned frame differs from GT
+        by a KNOWN nontrivial sim(3) (rotation Q, scale s, shift u) and
+        check align_test_poses maps held-out GT test poses exactly onto
+        their gauged counterparts — rotations AND centers. This pins the
+        direction of every transform in the chain (the component SURVEY
+        §7.3 ranks 'easy to get subtly wrong'); a single inverted sim3 or
+        swapped compose order fails it."""
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        gt_train_raw = self._random_raw(k1, 12)
+        gt_test_raw = self._random_raw(k2, 4)
+
+        Q = np.asarray(se3.so3_to_SO3(jnp.asarray([0.3, -0.5, 0.2])))
+        s, u = 1.7, np.array([0.4, -0.3, 0.2], np.float32)
+
+        # Learned parsed train poses = gauged parsed GT train poses.
+        gt_train_parsed = procrustes.parse_raw_camera(gt_train_raw)
+        learned_parsed = _gauge_parsed(gt_train_parsed, Q, s, u)
+        # parse_raw_camera is an involution: raw learned poses.
+        learned_raw = procrustes.parse_raw_camera(learned_parsed)
+        # Training composes pose = base o exp(se3) with base = identity, so
+        # the table is just the log of the learned raw poses.
+        se3_table = np.asarray(se3.SE3_to_se3(learned_raw))
+
+        out_raw = align_test_poses(
+            se3_table, np.asarray(gt_train_raw), np.asarray(gt_test_raw)
+        )
+        out_parsed = procrustes.parse_raw_camera(jnp.asarray(out_raw))
+        expect_parsed = _gauge_parsed(
+            procrustes.parse_raw_camera(gt_test_raw), Q, s, u
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_parsed[..., :3]),
+            np.asarray(expect_parsed[..., :3]), atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            _centers(out_parsed), _centers(expect_parsed), atol=5e-3
+        )
+
+    def test_noised_base_poses_honored(self):
+        """With pose.noise training (base != identity) the learned pose is
+        base o exp(se3); align_test_poses must compose with the TRUE base
+        (the reference hard-codes identity, which this test would fail)."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+        gt_train_raw = self._random_raw(k1, 12)
+        gt_test_raw = self._random_raw(k2, 4)
+        base_raw = self._random_raw(k3, 12, scale=0.2)
+
+        Q = np.asarray(se3.so3_to_SO3(jnp.asarray([-0.2, 0.4, 0.1])))
+        s, u = 0.8, np.array([-0.1, 0.25, 0.15], np.float32)
+        gt_train_parsed = procrustes.parse_raw_camera(gt_train_raw)
+        learned_parsed = _gauge_parsed(gt_train_parsed, Q, s, u)
+        learned_raw = procrustes.parse_raw_camera(learned_parsed)
+        # learned = base o refine  =>  refine = base^-1 o learned
+        refine = se3.compose_pair(learned_raw, se3.invert(base_raw))
+        se3_table = np.asarray(se3.SE3_to_se3(refine))
+
+        out_raw = align_test_poses(
+            se3_table, np.asarray(gt_train_raw), np.asarray(gt_test_raw),
+            base_train_poses=np.asarray(base_raw),
+        )
+        out_parsed = procrustes.parse_raw_camera(jnp.asarray(out_raw))
+        expect_parsed = _gauge_parsed(
+            procrustes.parse_raw_camera(gt_test_raw), Q, s, u
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_parsed[..., :3]),
+            np.asarray(expect_parsed[..., :3]), atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            _centers(out_parsed), _centers(expect_parsed), atol=5e-3
+        )
+
     def test_perfect_training_recovers_gt_frame(self):
         """If the refined train poses exactly equal the parsed GT poses (in
         some sim3 frame), aligned test poses must land on their GT parsed

@@ -90,8 +90,12 @@ def main(args) -> None:
     gt_test = np.stack(
         [np.asarray(meta.GT_poses_dict[i], np.float32) for i in meta.img_ids_test]
     )
+    base_train = np.stack(
+        [np.asarray(meta.poses_dict[i], np.float32) for i in meta.img_ids_train]
+    )
     aligned_test = align_test_poses(
-        np.asarray(state.pose_params["se3"]), gt_train, gt_test
+        np.asarray(state.pose_params["se3"]), gt_train, gt_test,
+        base_train_poses=base_train,
     )
 
     test_ids = meta.img_ids_test

@@ -157,8 +157,17 @@ def generate_scene(
     phototourism_layout: bool = False,
     arc: float = 0.2,
     feature_mode: str = "color",
+    interleave_test: bool = False,
 ) -> dict:
     """Write a complete scene under out_dir; returns the metadata dict.
+
+    interleave_test: by default the test cameras sit at the END of the arc
+    (extrapolating past the train views). With True, test indices are
+    spread evenly through the arc's interior so every test view
+    interpolates between adjacent train views — the well-conditioned
+    setting for TTO benchmarks (a test camera outside the training view
+    frustum union renders unreconstructed space regardless of pose
+    quality).
 
     feature_mode:
       "color" — sinusoidal projections of local image color (round-1
@@ -175,6 +184,16 @@ def generate_scene(
     rng = np.random.RandomState(seed)
     n = n_train + n_test
     poses = _camera_ring(n, arc=arc)
+    if interleave_test:
+        test_ids = {
+            int(round((j + 1) * n / (n_test + 1))) for j in range(n_test)
+        }
+        assert len(test_ids) == n_test, (
+            f"test views collide at n={n}, n_test={n_test}; "
+            "use more total views"
+        )
+    else:
+        test_ids = set(range(n_train, n))
     # One shared color->feature projection for ALL images (view consistency).
     feat_proj = rng.randn(3, feat_dim).astype(np.float32)
     feat_phase = rng.uniform(0, 2 * np.pi, feat_dim).astype(np.float32)
@@ -241,7 +260,7 @@ def generate_scene(
         metadata[str(i)] = {
             "name": f"dense/images/{name}",
             "focal": float(focal),
-            "split": "train" if i < n_train else "test",
+            "split": "test" if i in test_ids else "train",
             "c2w": np.concatenate(
                 [poses[i], np.array([[0, 0, 0, 1.0]], np.float32)]
             ).tolist(),

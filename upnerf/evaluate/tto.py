@@ -48,14 +48,22 @@ def align_test_poses(
     se3_table: np.ndarray,  # (N_train, 6) trained refinement
     gt_train_poses: np.ndarray,  # (N_train, 3, 4)
     gt_test_poses: np.ndarray,  # (N_test, 3, 4)
+    base_train_poses: np.ndarray = None,  # (N_train, 3, 4) training base
 ) -> np.ndarray:
     """Initialize test poses by mapping GT test cameras into the learned
-    identity-init frame via the train-set sim(3)
-    (models/nerf_system_optmize.py:267-319)."""
+    frame via the train-set sim(3) (models/nerf_system_optmize.py:267-319).
+
+    The learned train pose is ``base o exp(se3)``; the reference hard-codes
+    ``base = identity`` (nerf_system_optmize.py:280), which is only correct
+    for its identity-init protocol (pose.noise = -1). We accept the actual
+    training base poses so the alignment is also right when training starts
+    from noised COLMAP poses (datasets/phototourism.py:203-208 noise
+    modes); passing None keeps exact reference behavior."""
     n = len(se3_table)
-    identity = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4))
+    if base_train_poses is None:
+        base_train_poses = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4))
     refine = se3.se3_to_SE3(jnp.asarray(se3_table))
-    refine_poses = se3.compose([refine, identity])
+    refine_poses = se3.compose([refine, jnp.asarray(base_train_poses)])
 
     refine_parsed = procrustes.parse_raw_camera(refine_poses)
     gt_train_parsed = procrustes.parse_raw_camera(jnp.asarray(gt_train_poses))
