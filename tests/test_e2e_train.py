@@ -121,6 +121,31 @@ def test_ckpt_restores_pre_rng_checkpoints(tmp_path, hp):
     )
 
 
+def test_ckpt_retention_keeps_latest_and_best(tmp_path):
+    """The LAST checkpoint must always survive even when its val PSNR is
+    below the top-k (orbax's best_fn retention deleted a 15k-step run's
+    final checkpoint because its val dipped below step 3000's — TTO and
+    auto-resume then silently used the stale 9k model)."""
+    from upnerf.utils.ckpt import CheckpointManager
+
+    tree = {"x": np.arange(3)}
+    mngr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=2)
+    mngr.save(1, tree, {"val_psnr": 20.0})
+    mngr.save(2, tree, {"val_psnr": 25.0})  # best
+    mngr.save(3, tree)  # interval save, no metrics: protected while latest
+    assert set(mngr._mngr.all_steps()) == {1, 2, 3}
+    mngr.save(4, tree, {"val_psnr": 22.0})
+    mngr.save(5, tree, {"val_psnr": 18.0})  # final: worse than all prior
+    assert mngr.latest_step() == 5
+    assert mngr.best_step() == 2
+    assert set(mngr._mngr.all_steps()) == {2, 4, 5}
+    mngr.close()
+    # a fresh manager instance recovers best_step from the journal
+    m2 = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=2)
+    assert m2.best_step() == 2 and m2.latest_step() == 5
+    m2.close()
+
+
 def test_val_downscale_floor(hp):
     """Training at downscale 1 must validate at downscale 2
     (datasets/phototourism.py:53-54)."""

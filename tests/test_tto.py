@@ -110,6 +110,40 @@ class TestAlignTestPoses:
             _centers(out_parsed), _centers(expect_parsed), atol=5e-3
         )
 
+    def test_planar_rig_gauge_recovered(self):
+        """Cameras on a planar ring (every synthetic testbed here; any real
+        scene shot at one height). The center covariance is rank-2, so the
+        reference's center-only Procrustes can return a reflected ~180-deg
+        gauge rotation (observed 179.3 deg on the tto_quality run -> 12 dB
+        post-TTO renders). The orientation-based estimator (default) must
+        recover the true gauge exactly; this is the regression test for
+        that failure."""
+        from upnerf.data.synthetic import _camera_ring
+
+        ring = jnp.asarray(_camera_ring(16, arc=0.5))  # planar: y fixed
+        gt_train_raw, gt_test_raw = ring[:12], ring[12:]
+
+        Q = np.asarray(se3.so3_to_SO3(jnp.asarray([0.05, -0.1, 0.04])))
+        s, u = 1.2, np.array([0.1, -0.05, 0.2], np.float32)
+        gt_train_parsed = procrustes.parse_raw_camera(gt_train_raw)
+        learned_parsed = _gauge_parsed(gt_train_parsed, Q, s, u)
+        learned_raw = procrustes.parse_raw_camera(learned_parsed)
+        se3_table = np.asarray(se3.SE3_to_se3(learned_raw))
+
+        out_raw = align_test_poses(
+            se3_table, np.asarray(gt_train_raw), np.asarray(gt_test_raw)
+        )
+        out_parsed = procrustes.parse_raw_camera(jnp.asarray(out_raw))
+        expect_parsed = _gauge_parsed(
+            procrustes.parse_raw_camera(gt_test_raw), Q, s, u
+        )
+        R_err = np.degrees(np.asarray(procrustes.rotation_distance(
+            out_parsed[..., :3], expect_parsed[..., :3])))
+        assert R_err.max() < 0.5, R_err
+        np.testing.assert_allclose(
+            _centers(out_parsed), _centers(expect_parsed), atol=5e-3
+        )
+
     def test_perfect_training_recovers_gt_frame(self):
         """If the refined train poses exactly equal the parsed GT poses (in
         some sim3 frame), aligned test poses must land on their GT parsed

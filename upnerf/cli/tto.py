@@ -130,6 +130,13 @@ def main(args) -> None:
         batch_size=args.batch_size,
         pose_epochs=args.pose_epochs,
         appearance_epochs=args.appearance_epochs,
+        pose_anneal=getattr(args, "pose_anneal", 0.0),
+        pose_blur=tuple(
+            float(s)
+            for s in str(getattr(args, "pose_blur", "") or "").split(",")
+            if s.strip()
+        ),
+        pose_blur_frac=getattr(args, "pose_blur_frac", 0.5),
     )
     frozen = {
         "nerf_coarse": state.params["nerf_coarse"],
@@ -218,7 +225,10 @@ def main(args) -> None:
             ),
         )
         key, k = jax.random.split(key)
-        out = runner.run_group(group, k, lpips=lpips)
+        out = runner.run_group(
+            group, k, lpips=lpips,
+            eval_every=getattr(args, "eval_every", 1),
+        )
         group_nums = group_nums[:n_valid]
         emb_dir = os.path.join(save_root, "optimized_emb_a")
         os.makedirs(emb_dir, exist_ok=True)
@@ -256,6 +266,22 @@ if __name__ == "__main__":
     parser.add_argument("--group_size", default=4, type=int)
     parser.add_argument("--pose_epochs", default=50, type=int)
     parser.add_argument("--appearance_epochs", default=20, type=int)
+    parser.add_argument("--pose_anneal", default=0.0, type=float,
+                        help="fraction of pose epochs ramping the PE "
+                        "anneal progress 0.3->1.0 (coarse-to-fine test-"
+                        "pose basin widening; 0 = reference behavior)")
+    parser.add_argument("--pose_blur", default="",
+                        help="comma list of Gaussian sigmas for pyramid "
+                        "coarse-to-fine on the phase-A target image, "
+                        "coarse->fine (e.g. '4,2'); empty = reference "
+                        "behavior (sharp target throughout)")
+    parser.add_argument("--pose_blur_frac", default=0.5, type=float,
+                        help="fraction of pose epochs spent on the "
+                        "blurred pyramid levels")
+    parser.add_argument("--eval_every", default=1, type=int,
+                        help="best-metric eval render every k-th epoch "
+                        "(small synthetic images: epochs are a few steps "
+                        "and per-epoch evals dominate wall-clock)")
     parser.add_argument("--shard", default="0/1",
                         help="'i/n': optimize every n-th test image starting "
                         "at i — run one shard per host for multi-host TTO "

@@ -49,6 +49,7 @@ def align_test_poses(
     gt_train_poses: np.ndarray,  # (N_train, 3, 4)
     gt_test_poses: np.ndarray,  # (N_test, 3, 4)
     base_train_poses: np.ndarray = None,  # (N_train, 3, 4) training base
+    rot_from: str = "orientations",
 ) -> np.ndarray:
     """Initialize test poses by mapping GT test cameras into the learned
     frame via the train-set sim(3) (models/nerf_system_optmize.py:267-319).
@@ -58,7 +59,17 @@ def align_test_poses(
     for its identity-init protocol (pose.noise = -1). We accept the actual
     training base poses so the alignment is also right when training starts
     from noised COLMAP poses (datasets/phototourism.py:203-208 noise
-    modes); passing None keeps exact reference behavior."""
+    modes); passing None keeps exact reference behavior.
+
+    rot_from: how the gauge ROTATION is estimated. "orientations"
+    (default, documented deviation) takes the chordal mean of the per-
+    camera rotation residuals — exact whenever a sim(3) gauge exists, and
+    non-degenerate for planar camera rigs where the reference's
+    center-only Procrustes (utils/camera.py:364-382) is reflection-
+    bistable and can return a ~180-deg garbage rotation (see
+    procrustes.gauge_rotation_from_orientations). "centers" keeps the
+    reference's exact estimator. Scale and translation always come from
+    the camera centers (rotation-independent)."""
     n = len(se3_table)
     if base_train_poses is None:
         base_train_poses = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4))
@@ -68,6 +79,13 @@ def align_test_poses(
     refine_parsed = procrustes.parse_raw_camera(refine_poses)
     gt_train_parsed = procrustes.parse_raw_camera(jnp.asarray(gt_train_poses))
     _, sim3 = procrustes.prealign_cameras(refine_parsed, gt_train_parsed)
+    if rot_from == "orientations":
+        Q = procrustes.gauge_rotation_from_orientations(
+            refine_parsed, gt_train_parsed
+        )
+        sim3 = sim3._replace(R=Q)
+    elif rot_from != "centers":
+        raise ValueError(f"rot_from must be orientations|centers: {rot_from}")
 
     gt_test_parsed = procrustes.parse_raw_camera(jnp.asarray(gt_test_poses))
     center = jnp.zeros((1, 1, 3))
@@ -100,6 +118,53 @@ class TTOConfig(NamedTuple):
     lr_emb_pose_phase: float = 5e-3
     lr_se3: float = 1e-4
     lr_emb_appearance: float = 1e-1
+    # Fraction of phase-A epochs spent ramping the PE-anneal `progress`
+    # from pose_anneal_start to 1.0 (BARF-style coarse-to-fine for the
+    # TEST pose). 0.0 = reference behavior (full PE throughout,
+    # models/nerf_system_optmize.py renders at the trained progress).
+    # Low-frequency-only photometry has a much wider pose basin: with the
+    # sim3 init several degrees off (imperfectly converged training
+    # poses), full-PE phase A can strand individual images in ~12 dB
+    # local minima while their neighbors reach val PSNR.
+    pose_anneal: float = 0.0
+    pose_anneal_start: float = 0.3
+    # Image-pyramid coarse-to-fine for phase A: optimize the first
+    # pose_blur_frac of the epochs against Gaussian-blurred copies of the
+    # target (one equal segment per sigma, coarse->fine), then the sharp
+    # image. PE annealing blurs only the RENDER; a sharp target with
+    # periodic texture (checkers, facades) still pattern-locks a pose
+    # that is one texture period off — blurring the target removes those
+    # aliased minima. () = reference behavior.
+    pose_blur: Tuple[float, ...] = ()
+    pose_blur_frac: float = 0.5
+
+
+def _blur_group_rgbs(
+    rgbs_u8: np.ndarray, wh: np.ndarray, sigma: float
+) -> np.ndarray:
+    """Gaussian-blur each image's valid (h, w) region (edge-padded so the
+    zero padding outside the region never bleeds in). Host-side numpy —
+    runs once per pyramid level per group."""
+    out = np.array(rgbs_u8)
+    r = max(1, int(round(3 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+
+    def conv(img, axis):
+        pad = [(0, 0)] * img.ndim
+        pad[axis] = (r, r)
+        img = np.pad(img, pad, mode="edge")
+        return np.apply_along_axis(
+            lambda m: np.convolve(m, k, "valid"), axis, img
+        )
+
+    for g in range(len(out)):
+        w, h = int(wh[g, 0]), int(wh[g, 1])
+        img = out[g, :h, :w].astype(np.float64)
+        img = conv(conv(img, 0), 1)
+        out[g, :h, :w] = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    return out
 
 
 def _sample_pixels(key, wh, x_frac: Tuple[float, float], B: int):
@@ -132,6 +197,7 @@ def _render_group_rays(
     key,
     det: bool,
     noise=None,  # optional pre-drawn uniforms {coarse/fine: (G*B, N)}
+    progress=None,  # PE-anneal progress (None = 1.0: full bands)
 ):
     """Render (G*B) rays with refined poses; returns (pred_rgb, gt_rgb)."""
     G, B = px.shape
@@ -161,10 +227,12 @@ def _render_group_rays(
         "nerf_fine": frozen_params["nerf_fine"],
         "embeddings": emb,
     }
+    if progress is None:
+        progress = jnp.asarray(1.0)
     out = render_rays(
         params, cfg.render, cfg.nerf, rays, img_idx,
         key=key, phase=2, sched_mult=jnp.asarray(1.0),
-        progress=jnp.asarray(1.0), encode_candidate=False, det=det,
+        progress=progress, encode_candidate=False, det=det,
         noise=noise,
     )
     gt = group.rgbs[img_idx, py.reshape(-1).astype(jnp.int32),
@@ -211,7 +279,7 @@ def make_tto_step(
         n_dev = mesh.devices.size
         assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
 
-    def loss_fn(trainables, group, px, py, noise):
+    def loss_fn(trainables, group, px, py, noise, progress):
         se3_delta = (
             trainables["se3"]
             if optimize_pose
@@ -220,26 +288,30 @@ def make_tto_step(
         flat = {k: v.reshape(-1, v.shape[-1]) for k, v in noise.items()}
         pred, gt = _render_group_rays(
             frozen_params, trainables["fine_a"], se3_delta, cfg, group,
-            px, py, None, det=False, noise=flat or None,
+            px, py, None, det=False, noise=flat or None, progress=progress,
         )
         return ((pred - gt) ** 2).mean()
 
-    def _loss_and_grads(trainables, group, px, py, noise):
-        return jax.value_and_grad(loss_fn)(trainables, group, px, py, noise)
+    def _loss_and_grads(trainables, group, px, py, noise, progress):
+        return jax.value_and_grad(loss_fn)(
+            trainables, group, px, py, noise, progress
+        )
 
     @jax.jit
-    def step(trainables, opt_state, group, key):
+    def step(trainables, opt_state, group, key, progress=1.0):
+        progress = jnp.asarray(progress, jnp.float32)
         k_pix, k_render = jax.random.split(key)
         px, py = _sample_pixels(k_pix, group.wh, x_frac, cfg.batch_size)
         noise = _draw_render_noise(k_render, cfg.render, *px.shape)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
-            def per_shard(trainables, group, px, py, noise):
+            def per_shard(trainables, group, px, py, noise, progress):
                 # equal-sized shards -> pmean of the local means/grads
                 # equals the global-batch loss/grads
                 return jax.lax.pmean(
-                    _loss_and_grads(trainables, group, px, py, noise),
+                    _loss_and_grads(trainables, group, px, py, noise,
+                                    progress),
                     DATA_AXIS,
                 )
 
@@ -248,13 +320,15 @@ def make_tto_step(
                 mesh=mesh,
                 in_specs=(
                     P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
-                    P(None, DATA_AXIS),
+                    P(None, DATA_AXIS), P(),
                 ),
                 out_specs=P(),
                 check_vma=False,  # pallas_call has no vma rule
-            )(trainables, group, px, py, noise)
+            )(trainables, group, px, py, noise, progress)
         else:
-            loss, grads = _loss_and_grads(trainables, group, px, py, noise)
+            loss, grads = _loss_and_grads(
+                trainables, group, px, py, noise, progress
+            )
         updates, opt_state = optimizer.update(grads, opt_state, trainables)
         trainables = optax.apply_updates(trainables, updates)
         return trainables, opt_state, loss
@@ -414,10 +488,18 @@ class TTORunner:
         )
 
     def run_group(
-        self, group: TTOGroup, key: jax.Array, lpips=None, log=print
+        self, group: TTOGroup, key: jax.Array, lpips=None, log=print,
+        eval_every: int = 1,
     ) -> Dict[str, np.ndarray]:
         """Run both TTO phases for one group; returns per-image best
-        metrics and refined poses."""
+        metrics and refined poses.
+
+        eval_every: run the per-epoch best-metric eval render only every
+        k-th epoch (and always on the last). The reference evals each
+        epoch, where an epoch is ~160 optimizer steps on a real image; on
+        small synthetic images an epoch is a handful of steps and the eval
+        render dominates wall-clock, so protocols raise this with
+        pose_epochs scaled up to reach comparable step counts."""
         cfg = self.cfg
         G = int(group.Ks.shape[0])
         wh = np.asarray(group.wh)
@@ -439,12 +521,35 @@ class TTORunner:
         best_pose = np.array(
             se3.compose([se3.se3_to_SE3(trainables["se3"]), group.base_poses])
         )  # np.array: writable copy
+        blur_groups = []
+        if cfg.pose_blur:
+            rgbs_np = np.asarray(group.rgbs)
+            blur_groups = [
+                group._replace(
+                    rgbs=jnp.asarray(_blur_group_rgbs(rgbs_np, wh, s))
+                )
+                for s in cfg.pose_blur
+            ]
+        blur_epochs = cfg.pose_blur_frac * cfg.pose_epochs
+        ramp_epochs = cfg.pose_anneal * cfg.pose_epochs
         for epoch in range(cfg.pose_epochs):
+            progress = 1.0 if epoch >= ramp_epochs else (
+                cfg.pose_anneal_start
+                + (1.0 - cfg.pose_anneal_start) * epoch / ramp_epochs
+            )
+            group_e = group
+            if blur_groups and epoch < blur_epochs:
+                # same padded shapes -> same compiled program per level
+                group_e = blur_groups[
+                    int(epoch / blur_epochs * len(blur_groups))
+                ]
             for _ in range(epoch_steps_A):
                 key, k = jax.random.split(key)
                 trainables, opt_state, loss = self.step_A(
-                    trainables, opt_state, group, k
+                    trainables, opt_state, group_e, k, progress
                 )
+            if (epoch + 1) % eval_every and epoch + 1 < cfg.pose_epochs:
+                continue
             preds, gts = self.eval_A(trainables, group, Hm, Wm)
             cur = _masked_psnr(preds, gts, wh, (0.0, 1.0))
             improved = cur > best_psnr
@@ -478,6 +583,8 @@ class TTORunner:
                 trainables, opt_state, loss = self.step_B(
                     trainables, opt_state, group_B, k
                 )
+            if (epoch + 1) % eval_every and epoch + 1 < cfg.appearance_epochs:
+                continue
             preds, gts = self.eval_B(trainables, group_B, Hm, Wm)
             cur = _masked_psnr(preds, gts, wh, (0.5, 1.0))
             emb_now = np.asarray(trainables["fine_a"])

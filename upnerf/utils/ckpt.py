@@ -13,6 +13,7 @@ out of a checkpointed state.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -21,32 +22,70 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Retention = {latest step} ∪ {top-`max_to_keep` steps by val_psnr}.
+
+    Retention is enforced EXPLICITLY after each save rather than through
+    orbax's best_fn/max_to_keep options: those keep only the top-k by
+    metric, so a final/preemption checkpoint whose val PSNR is below the
+    top-k is deleted the moment it lands — auto-resume then silently
+    restarts from an older step, and TTO/eval (`--ckpt last`) read a stale
+    model (observed: a 15k-step run whose last surviving checkpoint was
+    9k). Per-step metrics live in a plain JSON journal next to the
+    checkpoints so `best_step` works across manager instances; steps saved
+    without metrics (interval/preemption saves) are protected while
+    latest, then reaped."""
+
     def __init__(self, directory: str, max_to_keep: int = 2):
         self.directory = os.path.abspath(directory)
+        self.max_to_keep = max_to_keep
         os.makedirs(self.directory, exist_ok=True)
-        self._mngr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep + 1,  # keep `last` + top-k slots
-                best_fn=lambda m: m.get("val_psnr", -1.0),
-                best_mode="max",
-                keep_checkpoints_without_metrics=True,
-            ),
-        )
+        self._metrics_path = os.path.join(self.directory, "ckpt_metrics.json")
+        self._metrics = {}
+        if os.path.isfile(self._metrics_path):
+            try:
+                with open(self._metrics_path) as f:
+                    self._metrics = {int(k): v for k, v in json.load(f).items()}
+            except (json.JSONDecodeError, OSError, ValueError):
+                self._metrics = {}
+        self._mngr = ocp.CheckpointManager(self.directory)
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
-        self._mngr.save(
-            step,
-            args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
-        )
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
         self._mngr.wait_until_finished()
+        if metrics:
+            self._metrics[int(step)] = {
+                k: float(v) for k, v in metrics.items()
+            }
+            if jax.process_index() == 0:
+                tmp = self._metrics_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({str(k): v for k, v in self._metrics.items()}, f)
+                os.replace(tmp, self._metrics_path)
+        self._sweep()
+
+    def _scored(self, steps):
+        return sorted(
+            ((self._metrics[s].get("val_psnr", -1.0), s)
+             for s in steps if s in self._metrics),
+            reverse=True,
+        )
+
+    def _sweep(self) -> None:
+        steps = sorted(self._mngr.all_steps())
+        if not steps:
+            return
+        keep = {steps[-1]}
+        keep.update(s for _, s in self._scored(steps)[: self.max_to_keep])
+        for s in steps:
+            if s not in keep:
+                self._mngr.delete(s)
 
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
     def best_step(self) -> Optional[int]:
-        return self._mngr.best_step()
+        scored = self._scored(self._mngr.all_steps() or [])
+        return scored[0][1] if scored else self._mngr.latest_step()
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of `state_like` (an abstract or
