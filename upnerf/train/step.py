@@ -324,9 +324,16 @@ def make_train_step(
         scene: SceneConstants,
         batch: Dict[str, jnp.ndarray],
         phase: int,
+        noise: Optional[Dict[str, jnp.ndarray]] = None,
     ):
+        """`noise=None` draws the render uniforms from the state PRNG;
+        passing a dict overrides them (an empty dict selects the
+        deterministic sampling paths) — used for lockstep trajectory
+        replay against the torch reference
+        (scripts/lockstep_parity.py)."""
         _, k_render, next_raw = _keys(state)
-        noise = _draw_noise(k_render, batch["px"].shape[0])
+        if noise is None:
+            noise = _draw_noise(k_render, batch["px"].shape[0])
         return _update(state, scene, batch, noise, next_raw, phase)
 
     def _grads_and_metrics(params, pose_params, scene, batch, noise,
