@@ -70,6 +70,21 @@ RECIPES = {
         "overrides": {"train.batch_size": 2048},
         "default_steps": 90000,
     },
+    # VERDICT r4 accuracy lever: a LONGER coarse-to-fine PE anneal
+    # (pose.c2f [0.1, 0.8] vs the reference's [0.1, 0.5],
+    # models/nerf.py:126-147) keeps the photometric pose basin wide
+    # through most of the blend phase — testing whether the 150k-schedule
+    # 4.4-7.6 deg basins are set by premature PE sharpening.
+    "identity_hires_c2f": {
+        "config": "configs/validation/synth_identity.yaml",
+        "scene_dir": "outputs_validation/scene_identity_hi",
+        "scene_kwargs": dict(
+            n_train=32, n_test=2, H=256, W=320, feat_hw=64, feat_dim=32,
+            focal=320.0, arc=0.25, feature_mode="world",
+        ),
+        "overrides": {"train.batch_size": 2048, "pose.c2f": (0.1, 0.8)},
+        "default_steps": 90000,
+    },
 }
 
 
@@ -174,8 +189,8 @@ def plan_run(run_dir: str, steps: int) -> str:
     return "fresh"
 
 
-def run_one(recipe: dict, seed: int, steps: int, tag: str,
-            prior: dict = None) -> dict:
+def run_one(recipe: dict, recipe_name: str, seed: int, steps: int,
+            tag: str, prior: dict = None) -> dict:
     """One training run; returns {seed, init/final rel-R (deg) and rel-t}.
 
     Idempotent at the seed level (plan_run): a run directory whose metrics
@@ -196,7 +211,14 @@ def run_one(recipe: dict, seed: int, steps: int, tag: str,
     hp = default()
     merge_from_file(hp, recipe["config"])
     scene = recipe["scene_dir"]
-    exp = f"protocol{tag}_seed{seed}"
+    # recipes sharing a scene_dir/out_dir (identity_hires vs its _c2f
+    # variant) must never collide on run directories: plan_run keys only
+    # on max_steps, so a shared exp name would silently reuse the OTHER
+    # recipe's run. Legacy names (no recipe infix) are kept for the
+    # original three recipes so their live scratch runs stay reusable.
+    infix = ("" if recipe_name in ("pose", "identity", "identity_hires")
+             else f"_{recipe_name}")
+    exp = f"protocol{infix}{tag}_seed{seed}"
     hp.update(recipe["overrides"])
     hp.update({
         "seed": seed,
@@ -315,7 +337,8 @@ def main():
     for seed in seeds:
         print(f"[protocol] {args.recipe} seed {seed} ({steps} steps)...")
         results.append(
-            run_one(recipe, seed, steps, args.tag, prior_runs.get(seed))
+            run_one(recipe, args.recipe, seed, steps, args.tag,
+                    prior_runs.get(seed))
         )
         print(f"[protocol]   -> {results[-1]}")
         summary = write_summary(out, args.recipe, steps, seeds, results,

@@ -127,7 +127,7 @@ def test_run_one_reuses_artifact_when_scratch_is_gone(tmp_path, monkeypatch):
         "default_steps": 60000,
     }
     got = pose_protocol.run_one(
-        recipe, 42, 60000, "", prior=_run_result(42, 60000))
+        recipe, "identity", 42, 60000, "", prior=_run_result(42, 60000))
     assert got["reused_from_artifact"] is True
     assert got["final_rel_R_deg"] == 5.0
 
