@@ -85,6 +85,22 @@ RECIPES = {
         "overrides": {"train.batch_size": 2048, "pose.c2f": (0.1, 0.8)},
         "default_steps": 90000,
     },
+    # VERDICT r4 accuracy lever #2: feature-space coarse-to-fine — early
+    # training supervises against a Gaussian-smoothed pyramid level of
+    # the feature stack (sigma 3 cells on the 64x64 grid), blending to
+    # full resolution by 70% of the run (upnerf/train/step.py
+    # gather_feats; default.yaml `feat:`).
+    "identity_hires_featc2f": {
+        "config": "configs/validation/synth_identity.yaml",
+        "scene_dir": "outputs_validation/scene_identity_hi",
+        "scene_kwargs": dict(
+            n_train=32, n_test=2, H=256, W=320, feat_hw=64, feat_dim=32,
+            focal=320.0, arc=0.25, feature_mode="world",
+        ),
+        "overrides": {"train.batch_size": 2048,
+                      "feat.c2f": (0.0, 0.7), "feat.pyramid_sigma": 3.0},
+        "default_steps": 90000,
+    },
 }
 
 

@@ -102,6 +102,12 @@ class Trainer:
         self.bsh = batch_sharding(self.mesh)
 
         feat_maps = scene_np["feat_maps"]
+        feat_coarse = None
+        pyr_sigma = float(hparams.get("feat.pyramid_sigma", 0.0) or 0.0)
+        if feat_maps is not None and hparams.get("feat.c2f") and pyr_sigma > 0:
+            from .state import blur_feat_stack
+
+            feat_coarse = blur_feat_stack(np.asarray(feat_maps), pyr_sigma)
         self.scene = put_replicated(
             SceneConstants(
                 Ks=jnp.asarray(scene_np["Ks"], jnp.float32),
@@ -112,6 +118,11 @@ class Trainer:
                     None
                     if feat_maps is None
                     else jnp.asarray(feat_maps, jnp.bfloat16)
+                ),
+                feat_maps_coarse=(
+                    None
+                    if feat_coarse is None
+                    else jnp.asarray(feat_coarse, jnp.bfloat16)
                 ),
             ),
             self.repl,

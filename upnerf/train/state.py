@@ -43,6 +43,12 @@ class SceneConstants(NamedTuple):
     near_far: jnp.ndarray  # (N_img, 2)
     wh: jnp.ndarray  # (N_img, 2) image sizes (for pixel normalization)
     feat_maps: Optional[jnp.ndarray]  # (N_img, h, w, C) L2-normalized, bf16
+    # Optional low-pass pyramid level of feat_maps (same shape) for the
+    # feature coarse-to-fine schedule (`feat.c2f`, no reference
+    # equivalent): early training supervises against spatially-smoothed
+    # features, widening the pose basin the same way BARF's PE anneal
+    # widens the photometric one. None = off (the default).
+    feat_maps_coarse: Optional[jnp.ndarray] = None
 
 
 class RayStore(NamedTuple):
@@ -155,11 +161,43 @@ def make_scene_constants(
     wh: np.ndarray,
     feat_maps: Optional[np.ndarray],
     feat_dtype=jnp.bfloat16,
+    feat_pyramid_sigma: float = 0.0,
 ) -> SceneConstants:
+    """feat_pyramid_sigma > 0 additionally stores a Gaussian-smoothed
+    (and re-L2-normalized) pyramid level of the feature stack for the
+    `feat.c2f` coarse-to-fine schedule."""
+    coarse = None
+    if feat_maps is not None and feat_pyramid_sigma > 0:
+        coarse = blur_feat_stack(np.asarray(feat_maps), feat_pyramid_sigma)
     return SceneConstants(
         Ks=jnp.asarray(Ks, jnp.float32),
         poses=jnp.asarray(poses, jnp.float32),
         near_far=jnp.asarray(near_far, jnp.float32),
         wh=jnp.asarray(wh, jnp.int32),
         feat_maps=None if feat_maps is None else jnp.asarray(feat_maps, feat_dtype),
+        feat_maps_coarse=(
+            None if coarse is None else jnp.asarray(coarse, feat_dtype)
+        ),
     )
+
+
+def blur_feat_stack(feat_maps: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian low-pass over the (h, w) axes of an
+    (N, h, w, C) feature stack, re-L2-normalized per cell (the fine maps
+    are unit-norm; smoothing shrinks norms and would otherwise rescale
+    the feature loss). Host-side numpy, runs once at scene build."""
+    r = max(1, int(round(3 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    out = feat_maps.astype(np.float64)
+    for axis in (1, 2):
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (r, r)
+        padded = np.pad(out, pad, mode="edge")
+        out = np.apply_along_axis(
+            lambda m: np.convolve(m, k, "valid"), axis, padded
+        )
+    norm = np.linalg.norm(out, axis=-1, keepdims=True)
+    out = out / np.maximum(norm, 1e-8)
+    return out.astype(np.float32)

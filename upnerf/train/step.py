@@ -49,6 +49,14 @@ class StepConfig(NamedTuple):
     far: float
     batch_size: int
     prng_impl: str = "rbg"
+    # Feature coarse-to-fine window (no reference equivalent, default off):
+    # supervise against the low-pass pyramid level of the DINO stack for
+    # progress < start, blend linearly to the full-resolution features by
+    # progress > end. Requires SceneConstants.feat_maps_coarse (built by
+    # make_scene_constants when `feat.pyramid_sigma` > 0). Smoothed
+    # feature targets have a spatially smoother loss landscape in the
+    # pose variables — the feature-space analog of the BARF PE anneal.
+    feat_c2f: Optional[Tuple[float, float]] = None
 
     @classmethod
     def from_hparams(cls, hp: Dict[str, Any]) -> "StepConfig":
@@ -64,6 +72,8 @@ class StepConfig(NamedTuple):
             far=hp["nerf.far"],
             batch_size=hp["train.batch_size"],
             prng_impl=hp.get("tpu.prng_impl", "rbg"),
+            feat_c2f=(tuple(hp["feat.c2f"]) if hp.get("feat.c2f")
+                      else None),
         )
 
 
@@ -116,17 +126,32 @@ def depth_prior(
 
 
 def gather_feats(
-    scene: SceneConstants, batch: Dict[str, jnp.ndarray]
+    scene: SceneConstants,
+    batch: Dict[str, jnp.ndarray],
+    feat_c2f: Optional[Tuple[float, float]] = None,
+    progress: Optional[jnp.ndarray] = None,
 ) -> Optional[jnp.ndarray]:
     """Bilinear DINO features for the batch pixels (device-side equivalent
-    of datasets/phototourism.py:430-453)."""
+    of datasets/phototourism.py:430-453).
+
+    With `feat_c2f=(start, end)` and a coarse pyramid level present, the
+    gather blends low-pass -> full-resolution features linearly over the
+    progress window (traced; static shapes) — the feature-space
+    coarse-to-fine schedule. Outside the window (or without the pyramid)
+    this is exactly the plain gather."""
     if scene.feat_maps is None:
         return None
     img_idx = batch["img_idx"]
     wh = scene.wh[img_idx].astype(jnp.float32)  # (B, 2) = (W, H)
     u = batch["py"] / jnp.maximum(wh[:, 1] - 1.0, 1.0)
     v = batch["px"] / jnp.maximum(wh[:, 0] - 1.0, 1.0)
-    return bilinear_gather(scene.feat_maps, img_idx, u, v)
+    fine = bilinear_gather(scene.feat_maps, img_idx, u, v)
+    if feat_c2f is None or scene.feat_maps_coarse is None or progress is None:
+        return fine
+    s, e = feat_c2f
+    w = jnp.clip((progress - s) / max(e - s, 1e-8), 0.0, 1.0)
+    coarse = bilinear_gather(scene.feat_maps_coarse, img_idx, u, v)
+    return (1.0 - w) * coarse + w * fine
 
 
 def forward(
@@ -147,7 +172,7 @@ def forward(
 
     Returns (results, loss_dict-inputs ready, feats)."""
     rays = build_rays(pose_params, scene, batch, cfg.pose_optimize)
-    feats = gather_feats(scene, batch)
+    feats = gather_feats(scene, batch, cfg.feat_c2f, progress)
 
     render_params = {
         "nerf_coarse": params["nerf_coarse"],
