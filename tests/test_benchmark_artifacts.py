@@ -35,6 +35,8 @@ def test_all_artifacts_parse():
     ("pose_protocol_identity.json", 60000),
     ("pose_protocol_identity_hires.json", 90000),
     ("pose_protocol_identity_hires_150k.json", 150000),
+    ("pose_protocol_identity_hires_c2f.json", 90000),
+    ("pose_protocol_identity_hires_featc2f.json", 90000),
 ])
 def test_pose_protocols_complete(name, steps):
     d = _load(name)
