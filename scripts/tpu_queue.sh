@@ -38,7 +38,11 @@ run_job() {
         [ "$n" -eq 1 ] && lim=$((STALL_MIN * 2))
         echo "[queue] job $idx attempt $n (stall limit ${lim}m): $*" \
             | tee -a "$log"
-        PYTHONUNBUFFERED=1 "$@" >>"$log" 2>&1 &
+        # setsid: run the job as its own process-group leader so a stall
+        # kill reaches the whole tree (compound job lines like `a && b`
+        # spawn children the bare pid wouldn't cover; an earlier `exec`
+        # variant silently dropped everything after the first `&&`).
+        PYTHONUNBUFFERED=1 setsid "$@" >>"$log" 2>&1 &
         pid=$!
         while kill -0 "$pid" 2>/dev/null; do
             sleep 60
@@ -47,9 +51,9 @@ run_job() {
             if [ -z "$fresh" ]; then
                 echo "[queue] job $idx: no progress for ${lim}m; killing $pid" \
                     | tee -a "$log"
-                kill "$pid" 2>/dev/null
+                kill -- "-$pid" 2>/dev/null
                 sleep 5
-                kill -9 "$pid" 2>/dev/null
+                kill -9 -- "-$pid" 2>/dev/null
                 break
             fi
         done
@@ -82,6 +86,6 @@ while IFS= read -r line; do
     case "$line" in ''|'#'*) continue ;; esac
     i=$((i + 1))
     # shellcheck disable=SC2086 — job lines are trusted shell words
-    run_job "$i" sh -c "exec $line" || status=1
+    run_job "$i" sh -c "$line" || status=1
 done <"$1"
 exit $status

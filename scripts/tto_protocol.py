@@ -81,6 +81,28 @@ PASS_GAP_DB = 3.0
 CONVERGED_REL_R_DEG = 5.0
 
 
+def _stamp() -> dict:
+    return {"protocol_rev": PROTOCOL_REV, "tto_kw": dict(TTO_KW)}
+
+
+def _stamp_path(run_dir: str) -> str:
+    return os.path.join(run_dir, "a_optimize", "protocol_stamp.json")
+
+
+def tto_scratch_reusable(run_dir: str) -> bool:
+    """TTO scratch is reusable only if it was produced by THIS protocol
+    revision with THESE TTO settings: load_prior_runs rev-gates the
+    committed artifact, but without this stamp a rev-1 a_optimize dir
+    surviving in scratch would be silently relabeled as rev-2 evidence."""
+    metrics = os.path.join(run_dir, "a_optimize", "metrics.json")
+    if not (os.path.isfile(metrics) and os.path.isfile(_stamp_path(run_dir))):
+        return False
+    try:
+        return json.load(open(_stamp_path(run_dir))) == _stamp()
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
 def run_one(seed: int, steps: int) -> dict:
     """train -> tto -> eval for one seed; returns the quality row."""
     import shutil
@@ -130,13 +152,17 @@ def run_one(seed: int, steps: int) -> dict:
     )
 
     tto_metrics_path = os.path.join(run_dir, "a_optimize", "metrics.json")
-    if not os.path.isfile(tto_metrics_path):
+    if not tto_scratch_reusable(run_dir):
         from upnerf.cli.tto import main as tto_main
 
+        shutil.rmtree(os.path.join(run_dir, "a_optimize"),
+                      ignore_errors=True)
         tto_main(argparse.Namespace(
             result_dir=run_dir, ckpt="last", optimize_num=-1, shard="0/1",
             **TTO_KW,
         ))
+        with open(_stamp_path(run_dir), "w") as f:
+            json.dump(_stamp(), f)
     tto = json.load(open(tto_metrics_path))
     assert tto, f"TTO produced no per-image metrics in {tto_metrics_path}"
 
@@ -254,12 +280,20 @@ def main(argv=None):
     except Exception:
         commit = ""
 
+    # Live-scratch precedence checks must look at the SAME run dir
+    # run_one uses (out_dir/scene_name/exp), not a hard-coded scene name.
+    from upnerf.config import default, merge_from_file
+
+    hp_probe = default()
+    merge_from_file(hp_probe, CONFIG)
+    scene_name = hp_probe["scene_name"]
+
     prior_runs = load_prior_runs(ARTIFACT, args.steps)
     results = []
     for seed in seeds:
         print(f"[tto-protocol] seed {seed} ({args.steps} steps)...")
         if seed in prior_runs and plan_run(
-            os.path.join(OUT_DIR, "synth", f"tto_seed{seed}"),
+            os.path.join(OUT_DIR, scene_name, f"tto_seed{seed}"),
             args.steps,
         ) == "fresh":
             # Scratch gone but the committed artifact holds this seed.

@@ -50,6 +50,50 @@ def test_load_prior_runs_schedule_gated(tmp_path):
     assert tto_protocol.load_prior_runs(out, 30000) == {}
 
 
+def test_tto_scratch_rev_gated(tmp_path, monkeypatch):
+    """A surviving a_optimize dir from an OLDER protocol revision (or
+    different TTO settings) must NOT be reused — it would relabel stale
+    evidence with the current rev."""
+    run_dir = str(tmp_path / "run")
+    os.makedirs(os.path.join(run_dir, "a_optimize"))
+    with open(os.path.join(run_dir, "a_optimize", "metrics.json"), "w") as f:
+        json.dump({"0": {"psnr": 20.0}}, f)
+
+    # no stamp at all (pre-stamp scratch) -> not reusable
+    assert not tto_protocol.tto_scratch_reusable(run_dir)
+
+    with open(tto_protocol._stamp_path(run_dir), "w") as f:
+        json.dump(tto_protocol._stamp(), f)
+    assert tto_protocol.tto_scratch_reusable(run_dir)
+
+    monkeypatch.setattr(tto_protocol, "PROTOCOL_REV",
+                        tto_protocol.PROTOCOL_REV + 1)
+    assert not tto_protocol.tto_scratch_reusable(run_dir)
+    monkeypatch.undo()
+
+    monkeypatch.setattr(
+        tto_protocol, "TTO_KW", dict(tto_protocol.TTO_KW, pose_epochs=999))
+    assert not tto_protocol.tto_scratch_reusable(run_dir)
+
+
+def test_tto_cli_blur_and_eval_every_inputs():
+    """pose_blur accepts both the CLI string and the programmatic tuple
+    form; eval_every<=0 maps to 'last epoch only' instead of ZeroDivision."""
+    from upnerf.cli.tto import _parse_blur
+
+    assert _parse_blur("4,2") == (4.0, 2.0)
+    assert _parse_blur((4.0, 2.0)) == (4.0, 2.0)
+    assert _parse_blur([4, 2]) == (4.0, 2.0)
+    assert _parse_blur("") == ()
+    assert _parse_blur(None) == ()
+
+    # the modulo-skip stride: 0 -> effectively last-only, negatives clamp
+    from upnerf.evaluate.tto import _eval_stride
+
+    for e, want in [(0, 1 << 30), (1, 1), (10, 10), (-3, 1)]:
+        assert _eval_stride(e) == want
+
+
 def test_interleaved_test_views(tmp_path):
     """interleave_test spreads test indices through the arc interior (the
     default puts them at the end, extrapolating past the train views)."""

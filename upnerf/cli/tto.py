@@ -52,6 +52,16 @@ def load_trained(result_dir: str, ckpt: str):
     return hparams, state, meta
 
 
+def _parse_blur(spec) -> tuple:
+    """pose_blur sigmas from either the CLI string form ('4,2') or the
+    programmatic sequence form ((4.0, 2.0)) TTOConfig.pose_blur wants."""
+    if spec is None:
+        return ()
+    if isinstance(spec, str):
+        return tuple(float(s) for s in spec.split(",") if s.strip())
+    return tuple(float(s) for s in spec)
+
+
 def _parse_shard(spec: str):
     """'i/n' -> (i, n), validated."""
     try:
@@ -131,11 +141,7 @@ def main(args) -> None:
         pose_epochs=args.pose_epochs,
         appearance_epochs=args.appearance_epochs,
         pose_anneal=getattr(args, "pose_anneal", 0.0),
-        pose_blur=tuple(
-            float(s)
-            for s in str(getattr(args, "pose_blur", "") or "").split(",")
-            if s.strip()
-        ),
+        pose_blur=_parse_blur(getattr(args, "pose_blur", "")),
         pose_blur_frac=getattr(args, "pose_blur_frac", 0.5),
     )
     frozen = {

@@ -139,30 +139,27 @@ class TTOConfig(NamedTuple):
     pose_blur_frac: float = 0.5
 
 
+def _eval_stride(eval_every) -> int:
+    """Best-metric eval stride from the user-facing eval_every: 0 means
+    'last epoch only' (the skip checks always eval the final epoch);
+    negatives clamp to every epoch. Guards the modulo skip in run_group
+    against ZeroDivisionError."""
+    return max(1, int(eval_every)) if eval_every else (1 << 30)
+
+
 def _blur_group_rgbs(
     rgbs_u8: np.ndarray, wh: np.ndarray, sigma: float
 ) -> np.ndarray:
     """Gaussian-blur each image's valid (h, w) region (edge-padded so the
     zero padding outside the region never bleeds in). Host-side numpy —
     runs once per pyramid level per group."""
+    from upnerf.train.state import gaussian_1d
+
     out = np.array(rgbs_u8)
-    r = max(1, int(round(3 * sigma)))
-    x = np.arange(-r, r + 1, dtype=np.float64)
-    k = np.exp(-0.5 * (x / sigma) ** 2)
-    k /= k.sum()
-
-    def conv(img, axis):
-        pad = [(0, 0)] * img.ndim
-        pad[axis] = (r, r)
-        img = np.pad(img, pad, mode="edge")
-        return np.apply_along_axis(
-            lambda m: np.convolve(m, k, "valid"), axis, img
-        )
-
     for g in range(len(out)):
         w, h = int(wh[g, 0]), int(wh[g, 1])
         img = out[g, :h, :w].astype(np.float64)
-        img = conv(conv(img, 0), 1)
+        img = gaussian_1d(gaussian_1d(img, sigma, 0), sigma, 1)
         out[g, :h, :w] = np.clip(np.round(img), 0, 255).astype(np.uint8)
     return out
 
@@ -500,6 +497,7 @@ class TTORunner:
         small synthetic images an epoch is a handful of steps and the eval
         render dominates wall-clock, so protocols raise this with
         pose_epochs scaled up to reach comparable step counts."""
+        eval_every = _eval_stride(eval_every)
         cfg = self.cfg
         G = int(group.Ks.shape[0])
         wh = np.asarray(group.wh)

@@ -43,7 +43,13 @@ from upnerf.utils import CheckpointManager, MetricLogger, get_pca_img, visualize
 
 from .optim import learning_rate_at, make_optimizer
 from .schedules import schedule_phase
-from .state import RayStore, SceneConstants, TrainState, init_params, init_pose_params
+from .state import (
+    RayStore,
+    TrainState,
+    init_params,
+    init_pose_params,
+    make_scene_constants,
+)
 from .step import StepConfig, make_eval_render, make_train_step
 
 
@@ -101,28 +107,15 @@ class Trainer:
         self.repl = replicated_sharding(self.mesh)
         self.bsh = batch_sharding(self.mesh)
 
-        feat_maps = scene_np["feat_maps"]
-        feat_coarse = None
         pyr_sigma = float(hparams.get("feat.pyramid_sigma", 0.0) or 0.0)
-        if feat_maps is not None and hparams.get("feat.c2f") and pyr_sigma > 0:
-            from .state import blur_feat_stack
-
-            feat_coarse = blur_feat_stack(np.asarray(feat_maps), pyr_sigma)
         self.scene = put_replicated(
-            SceneConstants(
-                Ks=jnp.asarray(scene_np["Ks"], jnp.float32),
-                poses=jnp.asarray(scene_np["poses"], jnp.float32),
-                near_far=jnp.asarray(scene_np["near_far"], jnp.float32),
-                wh=jnp.asarray(scene_np["wh"], jnp.int32),
-                feat_maps=(
-                    None
-                    if feat_maps is None
-                    else jnp.asarray(feat_maps, jnp.bfloat16)
-                ),
-                feat_maps_coarse=(
-                    None
-                    if feat_coarse is None
-                    else jnp.asarray(feat_coarse, jnp.bfloat16)
+            make_scene_constants(
+                scene_np["Ks"], scene_np["poses"], scene_np["near_far"],
+                scene_np["wh"], scene_np["feat_maps"],
+                # the coarse pyramid level only matters when the feat.c2f
+                # schedule will actually blend it in
+                feat_pyramid_sigma=(
+                    pyr_sigma if hparams.get("feat.c2f") else 0.0
                 ),
             ),
             self.repl,

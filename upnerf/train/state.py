@@ -186,18 +186,30 @@ def blur_feat_stack(feat_maps: np.ndarray, sigma: float) -> np.ndarray:
     (N, h, w, C) feature stack, re-L2-normalized per cell (the fine maps
     are unit-norm; smoothing shrinks norms and would otherwise rescale
     the feature loss). Host-side numpy, runs once at scene build."""
-    r = max(1, int(round(3 * sigma)))
-    x = np.arange(-r, r + 1, dtype=np.float64)
-    k = np.exp(-0.5 * (x / sigma) ** 2)
-    k /= k.sum()
-    out = feat_maps.astype(np.float64)
+    out = feat_maps.astype(np.float32)
     for axis in (1, 2):
-        pad = [(0, 0)] * out.ndim
-        pad[axis] = (r, r)
-        padded = np.pad(out, pad, mode="edge")
-        out = np.apply_along_axis(
-            lambda m: np.convolve(m, k, "valid"), axis, padded
-        )
+        out = gaussian_1d(out, sigma, axis)
     norm = np.linalg.norm(out, axis=-1, keepdims=True)
     out = out / np.maximum(norm, 1e-8)
     return out.astype(np.float32)
+
+
+def gaussian_1d(arr: np.ndarray, sigma: float, axis: int) -> np.ndarray:
+    """Edge-padded Gaussian convolution along one axis, expressed as a
+    dense band-matrix contraction so BLAS does the work (one sgemm per
+    axis; the earlier np.apply_along_axis/np.convolve form made one
+    interpreter-level call per 1-D slice — minutes of startup on
+    real-scale feature stacks, where this runs in ~a second)."""
+    r = max(1, int(round(3 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    n = arr.shape[axis]
+    band = np.zeros((n, n + 2 * r), np.float32)
+    for i in range(n):
+        band[i, i : i + 2 * r + 1] = k
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (r, r)
+    padded = np.pad(arr, pad, mode="edge")
+    out = np.tensordot(band, padded, axes=([1], [axis]))
+    return np.moveaxis(out, 0, axis).astype(arr.dtype, copy=False)
