@@ -36,6 +36,7 @@ def test_all_artifacts_parse():
     ("pose_protocol_identity_hires.json", 90000),
     ("pose_protocol_identity_hires_150k.json", 150000),
     ("pose_protocol_identity_hires_c2f.json", 90000),
+    ("pose_protocol_identity_hires_c2f_150k.json", 150000),
     ("pose_protocol_identity_hires_featc2f.json", 90000),
 ])
 def test_pose_protocols_complete(name, steps):
