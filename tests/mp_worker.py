@@ -98,6 +98,9 @@ def main():
             "dist.coordinator": f"127.0.0.1:{port}",
             "dist.num_processes": nproc,
             "dist.process_id": pid,
+            # oversubscribed 1-core box: a peer can take minutes past the
+            # 300 s default to reach the gloo barrier under contention
+            "dist.init_timeout": 1800,
         }
     )
     if streaming:

@@ -58,7 +58,10 @@ def _launch_cluster(tmp_path, scene_dir, out_dir, mode=None, nproc=2):
         logs.append(log)
     try:
         for p in procs:
-            p.wait(timeout=900)
+            # generous: two workers share this box's ONE core, and a
+            # concurrent TPU-protocol host process (CLAUDE.md serial-TPU
+            # queue) can triple the contention — 900 s flaked once there
+            p.wait(timeout=2400)
     finally:
         for p in procs:
             if p.poll() is None:

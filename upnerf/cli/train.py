@@ -36,6 +36,7 @@ def main(hparams):
             coordinator_address=hparams.get("dist.coordinator"),
             num_processes=hparams.get("dist.num_processes"),
             process_id=hparams.get("dist.process_id"),
+            initialization_timeout=hparams.get("dist.init_timeout"),
         )
 
     from upnerf.config import save_yaml

@@ -50,6 +50,7 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     local_device_ids: Optional[Any] = None,
+    initialization_timeout: Optional[int] = None,
 ) -> None:
     """Start the multi-controller runtime (idempotent under re-entry checks
     upstream). On TPU pod slices call it with NO arguments — coordinator,
@@ -77,7 +78,19 @@ def initialize(
         kwargs["process_id"] = int(process_id)
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
+    if initialization_timeout is not None:
+        # e.g. CPU smoke clusters on an oversubscribed host, where a peer
+        # can take minutes past jax's 300 s default to reach the barrier
+        kwargs["initialization_timeout"] = int(initialization_timeout)
     jax.distributed.initialize(**kwargs)
+    # Establish the collective context NOW, while every process is at the
+    # same point with minimal skew. Gloo's one-time context rendezvous has
+    # a hard 30 s key-value timeout, and the natural first collective
+    # (e.g. orbax's checkpoint-directory sync) happens only after scene
+    # loading + state build + first compiles — on an oversubscribed host
+    # the inter-process skew by then can exceed 30 s and fail the context
+    # setup ("Gloo context initialization failed: DEADLINE_EXCEEDED").
+    sync("upnerf:init")
 
 
 def is_multiprocess() -> bool:
