@@ -85,6 +85,35 @@ RECIPES = {
         "overrides": {"train.batch_size": 2048, "pose.c2f": (0.1, 0.8)},
         "default_steps": 90000,
     },
+    # Generality check of the winning r4 lever: does the LONGER PE anneal
+    # also help when poses start NEAR the solution (noise 0.15) instead of
+    # at identity? The perturbation-recovery descent is driven by fine
+    # photometric alignment, so the wide-basin anneal could plausibly be
+    # neutral or even slow it — measure, don't assume.
+    "pose_c2f": {
+        "config": "configs/validation/synth_pose.yaml",
+        "scene_dir": "outputs_validation/scene_pose32",
+        "scene_kwargs": dict(
+            n_train=16, n_test=2, H=64, W=80, feat_hw=32, feat_dim=32,
+            focal=80.0, arc=0.5,
+        ),
+        "overrides": {"pose.noise": 0.15, "pose.c2f": (0.1, 0.8)},
+        "default_steps": 15000,
+    },
+    # Next point on the anneal-length response curve: [0.1, 0.5] -> 7.03
+    # deg and [0.1, 0.8] -> 5.86 deg at 90k (every seed improved), so test
+    # whether [0.1, 0.9] keeps descending or whether 10% of the run at
+    # full PE sharpness is too little fine-refinement time.
+    "identity_hires_c2f9": {
+        "config": "configs/validation/synth_identity.yaml",
+        "scene_dir": "outputs_validation/scene_identity_hi",
+        "scene_kwargs": dict(
+            n_train=32, n_test=2, H=256, W=320, feat_hw=64, feat_dim=32,
+            focal=320.0, arc=0.25, feature_mode="world",
+        ),
+        "overrides": {"train.batch_size": 2048, "pose.c2f": (0.1, 0.9)},
+        "default_steps": 90000,
+    },
     # VERDICT r4 accuracy lever #2: feature-space coarse-to-fine — early
     # training supervises against a Gaussian-smoothed pyramid level of
     # the feature stack (sigma 3 cells on the 64x64 grid), blending to
