@@ -95,6 +95,29 @@ def test_throughput_artifacts():
     assert effs[-1] > 0.5  # 8-chip shard must stay usefully efficient
 
 
+def test_design_table_in_sync():
+    """The DESIGN.md pose-benchmark table is generated from the artifacts
+    (scripts/protocol_table.py --update); a hand edit or a re-measured
+    artifact without the doc refresh is exactly the docs-vs-evidence drift
+    the r3 advisor flagged — gate byte equality."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "protocol_table", os.path.join(REPO, "scripts", "protocol_table.py")
+    )
+    pt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pt)
+
+    text = open(pt.DESIGN).read()
+    assert pt.BEGIN in text and pt.END in text
+    block = text.split(pt.BEGIN, 1)[1].split(pt.END, 1)[0].strip()
+    expected = pt.render()
+    assert block == expected, (
+        "docs/DESIGN.md protocol table is stale — run "
+        "`python scripts/protocol_table.py --update`"
+    )
+
+
 def test_quality_protocol_seeds():
     d = _load("quality_protocol_synth_small.json")
     assert len(d["runs"]) >= 3
