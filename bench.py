@@ -37,6 +37,74 @@ import json
 import time
 
 A100_BASELINE_RAYS_PER_SEC = 4500.0  # assumed (see module docstring)
+
+TPU_QUEUE_DIR = "/tmp/tpu_queue"
+
+
+def preempt_tpu_queue(log_dir=TPU_QUEUE_DIR, wait_s=900.0, poll_s=5.0):
+    """Preempt a live scripts/tpu_queue.sh before measuring.
+
+    The chip serves ONE job at a time (CLAUDE.md): a protocol run still
+    holding the TPU when the bench starts would corrupt the steady-state
+    timing. The queue advertises itself in <log_dir>/queue.pid and traps
+    SIGTERM as checkpoint-and-exit (the Trainer saves between steps;
+    re-issuing the queue command later resumes from checkpoints and
+    completed-seed artifacts), so preemption costs wall time, not work.
+    Escalates to SIGKILL of the job's process group only if the graceful
+    window expires (e.g. a job wedged in a remote compile).
+    """
+    import os
+    import signal
+    import sys
+
+    def _alive(p):
+        try:
+            os.kill(p, 0)
+        except (ProcessLookupError, PermissionError, OverflowError):
+            return False
+        return True
+
+    def _read_pid(name):
+        try:
+            return int(open(os.path.join(log_dir, name)).read().strip())
+        except (OSError, ValueError):
+            return None
+
+    pid = _read_pid("queue.pid")
+    if pid is None or not _alive(pid):
+        return False
+    print(
+        f"[bench] live TPU queue (pid {pid}): sending SIGTERM so the "
+        "current job checkpoints and exits (re-issue the queue to resume)",
+        file=sys.stderr,
+    )
+    try:
+        os.kill(pid, signal.SIGTERM)
+    except ProcessLookupError:
+        return False
+    t0 = time.monotonic()
+    while _alive(pid) and time.monotonic() - t0 < wait_s:
+        time.sleep(poll_s)
+    if _alive(pid):
+        # Hard stop: the queue's own grace window should have fired long
+        # ago; take down the in-flight job group too so the chip is free.
+        print("[bench] queue ignored SIGTERM; killing it and its job",
+              file=sys.stderr)
+        job_pgid = _read_pid("current_job.pgid")
+        for target, use_pg in ((job_pgid, True), (pid, False)):
+            if target is None:
+                continue
+            try:
+                if use_pg:
+                    os.killpg(target, signal.SIGKILL)
+                else:
+                    os.kill(target, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+    else:
+        print(f"[bench] queue exited after "
+              f"{time.monotonic() - t0:.0f}s; chip is free", file=sys.stderr)
+    return True
 TORCH_CPU_RAYS_PER_SEC = 5.57        # measured 2026-08-16, 1 core, f32
 JAX_CPU_RAYS_PER_SEC = 6.24          # measured 2026-08-16, same host/config
 V5E_PEAK_BF16_TFLOPS = 197.0
@@ -248,6 +316,8 @@ def _bench_streaming(cfg, scene, state, step_batch, readout, n_rays=10_000_000,
 
 def main():
     import os
+
+    preempt_tpu_queue()
 
     import jax
 

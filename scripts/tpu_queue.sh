@@ -1,5 +1,6 @@
 #!/bin/sh
-# Serial TPU job queue with stall detection and bounded retries.
+# Serial TPU job queue with stall detection, bounded retries, and a
+# preemption contract.
 #
 # Replaces the per-session session_queue*.sh drivers (VERDICT r3 hygiene):
 # the queue of record lives in docs/ROADMAP.md; this runner just executes
@@ -9,10 +10,15 @@
 #   sh scripts/tpu_queue.sh -- python scripts/pose_protocol.py --recipe pose
 #
 # Contract (CLAUDE.md): never two TPU jobs concurrently — jobs run strictly
-# serially, and anything else touching the TPU must be queued HERE (no
-# external pid-file conventions; the r3 queue's /tmp/bench.pid gate was a
-# convention nothing else wrote — ADVICE r3). python children run with -u
-# so log mtime reliably reflects liveness during long remote compiles.
+# serially, and anything else touching the TPU must be queued HERE. The
+# queue advertises itself in $LOG_DIR/queue.pid (own pid) and
+# $LOG_DIR/current_job.pgid (the in-flight job's process group) so a
+# higher-priority TPU user can preempt it: bench.py does exactly this at
+# startup (SIGTERM here -> the current job's Trainer checkpoints between
+# steps and exits -> the queue exits WITHOUT retrying; re-issue the same
+# queue command later and the protocol scripts resume from their
+# checkpoints / completed-seed artifacts). python children run with -u so
+# log mtime reliably reflects liveness during long remote compiles.
 #
 # Stall detection: a job with no writes to its log, outputs_validation/,
 # benchmarks/, or the compile cache for STALL_MIN minutes is killed and
@@ -24,7 +30,35 @@ cd "$(dirname "$0")/.." || exit 1
 STALL_MIN=${STALL_MIN:-30}
 TRIES=${TRIES:-3}
 LOG_DIR=${LOG_DIR:-/tmp/tpu_queue}
+GRACE_S=${GRACE_S:-300}
+# Monitor-loop poll; also bounds preemption latency (a trapped TERM is
+# serviced only after the in-flight `sleep` completes in POSIX sh).
+POLL_S=${POLL_S:-60}
 mkdir -p "$LOG_DIR"
+
+echo $$ >"$LOG_DIR/queue.pid"
+# shellcheck disable=SC2064 — expand LOG_DIR now, it never changes
+trap "rm -f '$LOG_DIR/queue.pid' '$LOG_DIR/current_job.pgid'" EXIT
+
+CURRENT_PGID=""
+on_term() {
+    echo "[queue] preempted (TERM/INT): checkpoint-and-exit, no retry"
+    if [ -n "$CURRENT_PGID" ] && kill -0 "$CURRENT_PGID" 2>/dev/null; then
+        kill -TERM -- "-$CURRENT_PGID" 2>/dev/null
+        # The Trainer checkpoints between steps on SIGTERM; give it a
+        # bounded grace window (a job blocked in a remote compile cannot
+        # service the signal until the compile returns — killing it there
+        # loses at most the steps since its last checkpoint).
+        w=0
+        while kill -0 "$CURRENT_PGID" 2>/dev/null && [ "$w" -lt "$GRACE_S" ]; do
+            sleep 5
+            w=$((w + 5))
+        done
+        kill -9 -- "-$CURRENT_PGID" 2>/dev/null
+    fi
+    exit 143
+}
+trap on_term TERM INT
 
 run_job() {
     # $1 = job index, rest = command
@@ -44,8 +78,10 @@ run_job() {
         # variant silently dropped everything after the first `&&`).
         PYTHONUNBUFFERED=1 setsid "$@" >>"$log" 2>&1 &
         pid=$!
+        CURRENT_PGID=$pid
+        echo "$pid" >"$LOG_DIR/current_job.pgid"
         while kill -0 "$pid" 2>/dev/null; do
-            sleep 60
+            sleep "$POLL_S"
             fresh=$(find outputs_validation benchmarks /tmp/upnerf_jax_cache \
                 "$log" -type f -mmin "-$lim" 2>/dev/null | head -1)
             if [ -z "$fresh" ]; then
@@ -59,6 +95,8 @@ run_job() {
         done
         wait "$pid"
         rc=$?
+        CURRENT_PGID=""
+        rm -f "$LOG_DIR/current_job.pgid"
         if [ "$rc" -eq 0 ]; then
             echo "[queue] job $idx done" | tee -a "$log"
             return 0
