@@ -62,7 +62,17 @@ def preempt_tpu_queue(log_dir=TPU_QUEUE_DIR, wait_s=900.0, poll_s=5.0):
             os.kill(p, 0)
         except (ProcessLookupError, PermissionError, OverflowError):
             return False
-        return True
+        # os.kill(pid, 0) succeeds for a zombie (exited, unreaped — e.g.
+        # the queue's parent driver isn't wait()ing); a zombie holds no
+        # TPU and must count as dead or we stall the full wait_s and then
+        # SIGKILL a corpse (ADVICE r4).
+        try:
+            with open(f"/proc/{p}/stat", "rb") as f:
+                stat = f.read()
+            # field 3 is the state char, after the parenthesised comm
+            return stat[stat.rindex(b")") + 2:stat.rindex(b")") + 3] != b"Z"
+        except (OSError, ValueError):
+            return False
 
     def _read_pid(name):
         try:
@@ -72,6 +82,16 @@ def preempt_tpu_queue(log_dir=TPU_QUEUE_DIR, wait_s=900.0, poll_s=5.0):
 
     pid = _read_pid("queue.pid")
     if pid is None or not _alive(pid):
+        return False
+    # Self-preemption guard (ADVICE r4): when bench itself runs AS the
+    # queue's current job (the contract-compliant way to bench), SIGTERMing
+    # the queue would make its on_term SIGTERM/SIGKILL bench's own process
+    # group mid-run. The queue is us-shaped: leave it alone.
+    job_pgid = _read_pid("current_job.pgid")
+    if pid == os.getppid() or (job_pgid is not None
+                               and job_pgid == os.getpgrp()):
+        print("[bench] running as the queue's own job; skipping preemption",
+              file=sys.stderr)
         return False
     print(
         f"[bench] live TPU queue (pid {pid}): sending SIGTERM so the "
@@ -90,8 +110,11 @@ def preempt_tpu_queue(log_dir=TPU_QUEUE_DIR, wait_s=900.0, poll_s=5.0):
         # ago; take down the in-flight job group too so the chip is free.
         print("[bench] queue ignored SIGTERM; killing it and its job",
               file=sys.stderr)
+        # Queue pid FIRST: killing the job group first leaves a window in
+        # which the queue's retry loop respawns the job into a fresh setsid
+        # group that the subsequent queue SIGKILL won't cover (ADVICE r4).
         job_pgid = _read_pid("current_job.pgid")
-        for target, use_pg in ((job_pgid, True), (pid, False)):
+        for target, use_pg in ((pid, False), (job_pgid, True)):
             if target is None:
                 continue
             try:

@@ -36,15 +36,35 @@ GRACE_S=${GRACE_S:-300}
 POLL_S=${POLL_S:-60}
 mkdir -p "$LOG_DIR"
 
+# Mutual exclusion (ADVICE r4): a second queue instance would overwrite
+# the first's advertisement and its EXIT trap would delete the live
+# queue's pid files — letting two TPU jobs run concurrently. Refuse to
+# start while another live queue owns the advertisement.
+if [ -f "$LOG_DIR/queue.pid" ]; then
+    other=$(cat "$LOG_DIR/queue.pid" 2>/dev/null)
+    if [ -n "$other" ] && kill -0 "$other" 2>/dev/null; then
+        echo "[queue] another queue (pid $other) is live in $LOG_DIR;" \
+            "refusing to start (never two TPU jobs — CLAUDE.md)" >&2
+        exit 3
+    fi
+fi
 echo $$ >"$LOG_DIR/queue.pid"
-# shellcheck disable=SC2064 — expand LOG_DIR now, it never changes
-trap "rm -f '$LOG_DIR/queue.pid' '$LOG_DIR/current_job.pgid'" EXIT
+# Only the owning pid removes the advertisement (a racing loser's EXIT
+# must not clobber the winner's files).
+cleanup() {
+    [ "$(cat "$LOG_DIR/queue.pid" 2>/dev/null)" = "$$" ] && \
+        rm -f "$LOG_DIR/queue.pid" "$LOG_DIR/current_job.pgid"
+}
+trap cleanup EXIT
 
 CURRENT_PGID=""
 on_term() {
     echo "[queue] preempted (TERM/INT): checkpoint-and-exit, no retry"
+    # NB: dash's kill builtin rejects `kill -TERM -- "-pgid"` ("Illegal
+    # number") — only the `kill -s SIG -- "-pgid"` form reaches the
+    # process group under both dash and bash (VERDICT r4 weak #1).
     if [ -n "$CURRENT_PGID" ] && kill -0 "$CURRENT_PGID" 2>/dev/null; then
-        kill -TERM -- "-$CURRENT_PGID" 2>/dev/null
+        kill -s TERM -- "-$CURRENT_PGID" 2>/dev/null
         # The Trainer checkpoints between steps on SIGTERM; give it a
         # bounded grace window (a job blocked in a remote compile cannot
         # service the signal until the compile returns — killing it there
@@ -54,7 +74,7 @@ on_term() {
             sleep 5
             w=$((w + 5))
         done
-        kill -9 -- "-$CURRENT_PGID" 2>/dev/null
+        kill -s KILL -- "-$CURRENT_PGID" 2>/dev/null
     fi
     exit 143
 }
@@ -87,9 +107,9 @@ run_job() {
             if [ -z "$fresh" ]; then
                 echo "[queue] job $idx: no progress for ${lim}m; killing $pid" \
                     | tee -a "$log"
-                kill -- "-$pid" 2>/dev/null
+                kill -s TERM -- "-$pid" 2>/dev/null
                 sleep 5
-                kill -9 -- "-$pid" 2>/dev/null
+                kill -s KILL -- "-$pid" 2>/dev/null
                 break
             fi
         done

@@ -75,6 +75,18 @@ def test_preempt_live_queue(queue_proc):
     # checkpoint-and-exit, no retry: rc 143, job group dead, ads removed
     assert proc.wait(timeout=30) == 143
     assert _wait_for(lambda: not _alive(job_pgid), timeout=15)
+
+    # orphan check: the WHOLE process group is gone, not just the leader
+    # (the r4 dash kill bug left `sleep` jobs running after rc 143)
+    def _group_dead():
+        try:
+            os.killpg(job_pgid, 0)
+        except ProcessLookupError:
+            return True
+        return False
+
+    assert _wait_for(_group_dead, timeout=15), \
+        "job process group left orphaned members after preemption"
     assert not pidfile.exists() and not jobfile.exists()
 
 
@@ -91,6 +103,53 @@ def test_preempt_ignores_stale_pidfile(tmp_path):
     dead.wait()
     (tmp_path / "queue.pid").write_text(str(dead.pid))
     assert bench.preempt_tpu_queue(log_dir=str(tmp_path)) is False
+
+
+def test_preempt_treats_zombie_queue_as_dead(tmp_path):
+    # A queue whose parent never reaped it passes os.kill(pid, 0) but holds
+    # no TPU; bench must not wait the full window then SIGKILL a corpse.
+    zombie = subprocess.Popen(["true"])
+    assert _wait_for(
+        lambda: open(f"/proc/{zombie.pid}/stat", "rb").read()
+        .rsplit(b")", 1)[1].split()[0] == b"Z"
+    ), "child never became a zombie"
+    (tmp_path / "queue.pid").write_text(str(zombie.pid))
+    t0 = time.monotonic()
+    assert bench.preempt_tpu_queue(
+        log_dir=str(tmp_path), wait_s=30.0) is False
+    assert time.monotonic() - t0 < 1.0
+    zombie.wait()
+
+
+def test_preempt_skips_when_bench_is_the_current_job(tmp_path):
+    # Self-preemption guard: when bench runs AS the queue's job, its own
+    # process group is advertised in current_job.pgid — preempting would
+    # SIGKILL bench itself mid-run.
+    sentinel = subprocess.Popen(["sleep", "30"])  # stands in for the queue
+    try:
+        (tmp_path / "queue.pid").write_text(str(sentinel.pid))
+        (tmp_path / "current_job.pgid").write_text(str(os.getpgrp()))
+        assert bench.preempt_tpu_queue(
+            log_dir=str(tmp_path), wait_s=5.0) is False
+        assert _alive(sentinel.pid), "guard must not signal the queue"
+    finally:
+        sentinel.kill()
+        sentinel.wait()
+
+
+def test_second_queue_refuses_while_first_is_live(queue_proc):
+    proc, log_dir = queue_proc
+    pidfile = log_dir / "queue.pid"
+    assert _wait_for(lambda: pidfile.exists())
+    second = subprocess.run(
+        ["sh", QUEUE, "--", "true"],
+        cwd=REPO, env=dict(os.environ, LOG_DIR=str(log_dir)),
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, timeout=60,
+    )
+    assert second.returncode == 3
+    assert b"refusing to start" in second.stderr
+    # the loser's EXIT trap must not clobber the live queue's advertisement
+    assert pidfile.exists() and int(pidfile.read_text()) == proc.pid
 
 
 def test_queue_clears_ads_on_normal_exit(tmp_path):
