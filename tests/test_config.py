@@ -67,3 +67,41 @@ def test_parse_cli_and_save_roundtrip(tmp_path):
     assert c2["nerf.N_samples"] == 16
     assert c2["pose.c2f"] == (0.1, 0.5)
     assert os.path.exists(out)
+
+
+def test_preset_resolution_and_merge_order(tmp_path):
+    import pytest
+
+    # packaged name resolves to the shipped preset file
+    path = cfg.resolve_preset("best_pose")
+    assert path.endswith(os.path.join("presets", "best_pose.yaml"))
+    assert os.path.isfile(path)
+    # a literal path wins over name lookup
+    own = tmp_path / "mine.yaml"
+    own.write_text("pose:\n  c2f: '[0.2, 0.6]'\n")
+    assert cfg.resolve_preset(str(own)) == str(own)
+    with pytest.raises(FileNotFoundError, match="best_pose"):
+        cfg.resolve_preset("no_such_preset")
+
+    scene = tmp_path / "scene.yaml"
+    scene.write_text("scene_name: foo\npose:\n  c2f: '[0.3, 0.4]'\n")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config")
+    parser.add_argument("--preset", action="append", default=None)
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    # preset overrides the scene config...
+    c = cfg.parse_cli(
+        parser, ["--config", str(scene), "--preset", "best_pose"]
+    )
+    assert c["scene_name"] == "foo"
+    assert c["pose.c2f"] == (0.1, 0.8)
+    # ...but explicit `key value` CLI overrides still win over the preset
+    c = cfg.parse_cli(
+        parser,
+        ["--config", str(scene), "--preset", "best_pose",
+         "pose.c2f", "[0.1, 0.5]"],
+    )
+    assert c["pose.c2f"] == (0.1, 0.5)
+    # no preset -> exact reference-parity recipe from the scene config
+    c = cfg.parse_cli(parser, ["--config", str(scene)])
+    assert c["pose.c2f"] == (0.3, 0.4)

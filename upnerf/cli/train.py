@@ -61,6 +61,12 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", help="Path to config file.", required=True)
     parser.add_argument(
+        "--preset", action="append", default=None,
+        help="Measured recipe bundle to merge after the scene config "
+        "(packaged name like 'best_pose', or a yaml path; repeatable). "
+        "Omit for exact reference-parity training.",
+    )
+    parser.add_argument(
         "opts",
         nargs=argparse.REMAINDER,
         help="Modify hparams: `key value` pairs, e.g. train.batch_size 1024",

@@ -1,5 +1,6 @@
 from .config import (
     DEFAULT_CONFIG_FILE,
+    PRESET_DIR,
     default,
     flatten,
     get_from_path,
@@ -8,11 +9,13 @@ from .config import (
     merge_from_file,
     merge_from_list,
     parse_cli,
+    resolve_preset,
     save_yaml,
 )
 
 __all__ = [
     "DEFAULT_CONFIG_FILE",
+    "PRESET_DIR",
     "default",
     "flatten",
     "get_from_path",
@@ -21,5 +24,6 @@ __all__ = [
     "merge_from_file",
     "merge_from_list",
     "parse_cli",
+    "resolve_preset",
     "save_yaml",
 ]

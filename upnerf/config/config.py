@@ -26,6 +26,31 @@ from typing import Any, Dict, Iterable, Optional
 import yaml
 
 DEFAULT_CONFIG_FILE = join(dirname(__file__), "default.yaml")
+PRESET_DIR = join(dirname(__file__), "presets")
+
+
+def resolve_preset(name: str) -> str:
+    """Resolve a --preset argument: a literal yaml path, or the name of a
+    packaged preset under upnerf/config/presets/ (e.g. ``best_pose``).
+
+    Presets are measured recipe bundles (each key cites its benchmark
+    artifact in the preset file) merged AFTER the scene config and BEFORE
+    `key value` CLI overrides, so a scene keeps its geometry/IO keys while
+    the preset retunes the training recipe — and explicit CLI overrides
+    still win."""
+    import os
+
+    if os.path.isfile(name):
+        return name
+    path = join(PRESET_DIR, name + ".yaml")
+    if os.path.isfile(path):
+        return path
+    avail = sorted(
+        f[:-5] for f in os.listdir(PRESET_DIR) if f.endswith(".yaml")
+    )
+    raise FileNotFoundError(
+        f"unknown preset {name!r}: not a file, and not one of {avail}"
+    )
 
 
 def _coerce(v: Any) -> Any:
@@ -95,6 +120,8 @@ def parse_cli(
     config_path = getattr(args, "config", None)
     if config_path is not None:
         merge_from_file(config, config_path)
+    for preset in getattr(args, "preset", None) or ():
+        merge_from_file(config, resolve_preset(preset))
     opts = getattr(args, "opts", None)
     if opts:
         merge_from_list(config, opts)
