@@ -75,7 +75,10 @@ if [ ! -d "${ROOT}/DINO/feature_maps" ] || [ ! -d "${ROOT}/DPT" ]; then
 fi
 
 # ---- 4. ray cache ---------------------------------------------------------
-if [ ! -d "${ROOT}/cache" ]; then
+# prepare_cache writes ${ROOT}/cache_tpu/scale<img_downscale>
+# (upnerf/data/cache.py cache_dir_for) — caught by the real-execution test:
+# the original guard checked ${ROOT}/cache and re-ran the stage every time.
+if [ ! -d "${ROOT}/cache_tpu" ]; then
   run python -m upnerf.cli.prepare_cache --config "configs/${SCENE}.yaml"
 fi
 

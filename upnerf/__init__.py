@@ -27,3 +27,18 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# Optional platform pin, honored at import so every CLI subprocess can be
+# steered from the environment: UPNERF_PLATFORM=cpu runs e.g. eval/tto on
+# host CPU while a training job owns the TPU (the serial-chip contract in
+# CLAUDE.md), and lets the runbook execute its compute stages on machines
+# whose sitecustomize force-registers a remote accelerator backend (where
+# plain JAX_PLATFORMS is overridden and therefore unreliable).
+import os as _os
+
+_platform = _os.environ.get("UPNERF_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+del _os
