@@ -222,6 +222,32 @@ class Trainer:
         self.val_interval = int(li) if li >= 1 else max(1, int(li * steps_per_epoch))
         self.ckpt_interval = hp.get("train.ckpt_interval", 10000)
         self.log_pose_interval = hp.get("train.log_pose_interval", 3000)
+
+        # GT-free pose-warp (basin-stall) detection, optional multistart
+        # mitigation (upnerf/train/warp.py; no reference equivalent). The
+        # detector consumes the per-image loss vectors the step metrics
+        # already carry; in multi-process runs every controller sees the
+        # same pmean'd metrics and shares the detector/rng seed, so
+        # mitigation decisions are bit-identical across processes.
+        from .warp import WarpConfig, WarpDetector
+
+        self.warp_cfg = WarpConfig.from_hparams(hp)
+        if (self.warp_cfg.mitigate == "multistart"
+                and not self.cfg.render.encode_feat):
+            import warnings
+
+            warnings.warn(
+                "pose.warp.mitigate=multistart needs feature encoding "
+                "(nerf.feat_dim > 0); mitigation disabled"
+            )
+            self.warp_cfg = self.warp_cfg._replace(mitigate="none")
+        self._warp = (
+            WarpDetector(self.n_images, self.warp_cfg)
+            if self.warp_cfg.detect and self.cfg.pose_optimize
+            else None
+        )
+        self._warp_scorer = None
+        self._warp_rng = np.random.RandomState(hp.get("seed", 42) + 977)
         self.val_img_idx = list(hp.get("val.img_idx", (0,)))
         # Validation renders at downscale >= 2 even for scale-1 training
         # (reference OOM guard, datasets/phototourism.py:53-54): load the
@@ -337,6 +363,10 @@ class Trainer:
                     # one batched device->host fetch (scalar round-trips
                     # cost ~30 ms each through the remote-TPU relay)
                     fetched = jax.device_get(metrics)
+                    # per-image vectors feed the warp detector, not the
+                    # scalar log
+                    img_sum = fetched.pop("img_loss_sum", None)
+                    img_cnt = fetched.pop("img_loss_cnt", None)
                     m = {k_: float(v) for k_, v in fetched.items()}
                     # divergence watchdog: judge by the total loss only
                     # (psnr is legitimately +inf on a perfect fit)
@@ -358,6 +388,8 @@ class Trainer:
                     )
                     m["phase"] = phase
                     self.logger.log(step, m)
+                    if self._warp is not None and img_sum is not None:
+                        self._warp_check(step, img_sum, img_cnt)
                     t0 = time.time()
                     window_rays = 0
 
@@ -449,6 +481,71 @@ class Trainer:
             return src.restore(self.state, step=step)
         finally:
             src.close()
+
+    def _warp_check(self, step: int, img_sum, img_cnt) -> None:
+        """Feed one log point's per-image loss vectors to the warp
+        detector; on sustained flags, optionally run the scored pose
+        multistart (upnerf/train/warp.py). Runs identically on every
+        controller (shared rng seed, pmean'd metrics), so multi-process
+        states stay bit-identical."""
+        flags = self._warp.update(img_sum, img_cnt, step / self.max_steps)
+        # always log the worst EMA ratio: the audit trail for tuning
+        # pose.warp.ratio against real runs (vectors themselves stay
+        # host-side only)
+        self.logger.log(
+            step, {"train/warp_max_ratio": float(self._warp.ema.max())}
+        )
+        if not flags.any():
+            return
+        self.logger.log(step, {"train/warp_flagged": float(flags.sum())})
+        if self.is_main:
+            print(
+                f"[upnerf] warp detector: image(s) "
+                f"{np.nonzero(flags)[0].tolist()} stalled above "
+                f"{self.warp_cfg.ratio}x median loss at step {step}"
+            )
+        if self.warp_cfg.mitigate != "multistart" or not self._warp.budget_left:
+            return
+
+        from . import warp as warp_mod
+
+        if self._warp_scorer is None:
+            self._warp_scorer = warp_mod.make_pose_scorer(
+                self.cfg, self.warp_cfg.score_rays,
+                self.warp_cfg.score_progress,
+            )
+        wh = np.asarray(jax.device_get(self.scene.wh))
+        se3_tab = np.asarray(jax.device_get(self.state.pose_params["se3"]))
+        new_tab, adopted = warp_mod.run_multistart(
+            self._warp_scorer, self.state.params, self.scene, se3_tab,
+            flags, wh, self.warp_cfg, self._warp_rng,
+            log=print if self.is_main else (lambda *a, **k: None),
+        )
+        self._warp.start_cooldown()
+        if adopted.size == 0:
+            return
+        pose_params = dict(self.state.pose_params)
+        pose_params["se3"] = jnp.asarray(new_tab)
+        self.state = put_replicated(
+            self.state._replace(
+                pose_params=pose_params,
+                pose_opt_state=warp_mod.reset_opt_rows(
+                    self.state.pose_opt_state, adopted, tuple(se3_tab.shape)
+                ),
+            ),
+            self.repl,
+        )
+        self.logger.log(
+            step,
+            {"train/warp_event": float(adopted.size),
+             "train/warp_events_total": float(self._warp.events)},
+        )
+        if self.is_main:
+            print(
+                f"[upnerf] warp multistart adopted new pose(s) for "
+                f"image(s) {adopted.tolist()} at step {step} "
+                f"(event {self._warp.events}/{self.warp_cfg.max_events})"
+            )
 
     def _recover_from_nonfinite(self, step: int, m: Dict[str, float]) -> int:
         """Divergence watchdog (failure detection, no reference equivalent:

@@ -260,6 +260,28 @@ def _loss_and_metrics(
         metrics["mse"] = ((results[f"s_rgb_{typ}"] - batch["rgb"]) ** 2).mean()
     else:
         metrics["mse"] = jnp.ones(())
+
+    # Per-image loss accumulation (warp detection signal, upnerf/train/
+    # warp.py; no reference equivalent — Lightning logs batch means only).
+    # A pose-basin stall shows up as a contiguous set of images whose loss
+    # stays high while the rest converge; the feature term is the most
+    # pose-sensitive, appearance-invariant signal (it IS UP-NeRF's coarse
+    # alignment objective), so use it while it exists (phases 0/1) and the
+    # raw static rgb term in phase 2. SUM + COUNT are returned separately:
+    # under shard_map both are pmean'd (divided by n_dev), so their ratio
+    # — the per-image mean — is exactly the global-batch value.
+    if phase < 2 and cfg.loss.encode_feat:
+        per_ray = ((results[f"feat_{typ}"] - feats) ** 2).mean(-1)
+    else:
+        per_ray = ((results[f"s_rgb_{typ}"] - batch["rgb"]) ** 2).mean(-1)
+    n_img = scene.poses.shape[0]
+    seg = batch["img_idx"]
+    metrics["img_loss_sum"] = jax.ops.segment_sum(
+        per_ray, seg, num_segments=n_img
+    )
+    metrics["img_loss_cnt"] = jax.ops.segment_sum(
+        jnp.ones_like(per_ray), seg, num_segments=n_img
+    )
     return loss, metrics
 
 
