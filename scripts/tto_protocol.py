@@ -69,6 +69,21 @@ ARTIFACT = os.path.join("benchmarks", "tto_quality_protocol.json")
 PROTOCOL_REV = 2
 TTO_KW = dict(batch_size=1024, group_size=4, pose_epochs=400,
               appearance_epochs=40, eval_every=10, pose_anneal=0.4)
+# Training-recipe variants for A/B'ing basin-stall levers against the
+# baseline artifact (VERDICT r4 weak #2: seed 777's training stalls at
+# 8.69 deg with a ~12-deg warped arc and fails the TTO gate). Each
+# variant trains under its own exp tag and writes its own artifact
+# (tto_quality_protocol_<recipe>.json); TTO/eval settings are identical.
+TRAIN_RECIPES = {
+    "baseline": {},  # exact reference anneal — the committed r4 artifact
+    # the winning longer PE anneal (--preset best_pose; broke the 90k
+    # identity-init basins, benchmarks/pose_protocol_identity_hires_c2f.json)
+    "c2f": {"pose.c2f": (0.1, 0.8)},
+    # GT-free warp detection + scored pose multistart (upnerf/train/warp.py)
+    "multistart": {"pose.warp.mitigate": "multistart"},
+    "c2f_multistart": {"pose.c2f": (0.1, 0.8),
+                       "pose.warp.mitigate": "multistart"},
+}
 PASS_GAP_DB = 3.0
 # A seed's TTO quality is bounded by its training-pose basin: in regions
 # where train poses stalled warped (rel-R >~ 5 deg) the geometry at
@@ -103,7 +118,8 @@ def tto_scratch_reusable(run_dir: str) -> bool:
         return False
 
 
-def run_one(seed: int, steps: int) -> dict:
+def run_one(seed: int, steps: int, overrides: dict = None,
+            tag: str = "") -> dict:
     """train -> tto -> eval for one seed; returns the quality row."""
     import shutil
 
@@ -114,7 +130,8 @@ def run_one(seed: int, steps: int) -> dict:
 
     hp = default()
     merge_from_file(hp, CONFIG)
-    exp = f"tto_seed{seed}"
+    exp = f"tto{tag}_seed{seed}"
+    hp.update(overrides or {})
     hp.update({
         "seed": seed,
         "exp_name": exp,
@@ -195,7 +212,8 @@ def run_one(seed: int, steps: int) -> dict:
 
 
 def write_summary(out: str, steps: int, seeds: list, results: list,
-                  commit: str) -> dict:
+                  commit: str, train_recipe: str = "baseline",
+                  overrides: dict = None) -> dict:
     import numpy as np
 
     def stats(key, nd=2):
@@ -229,6 +247,11 @@ def write_summary(out: str, steps: int, seeds: list, results: list,
         "gap_db": stats("gap_db"),
         "tto_ssim_mean": stats("tto_ssim_mean", nd=4),
         "tto_kw": {k: v for k, v in TTO_KW.items()},
+        "train_recipe": train_recipe,
+        "train_overrides": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in (overrides or {}).items()
+        },
         "runs": results,
     }
     missing = [s for s in seeds if s not in [r["seed"] for r in results]]
@@ -261,8 +284,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", default="42,777")
     ap.add_argument("--steps", type=int, default=15000)
+    ap.add_argument("--recipe", default="baseline",
+                    choices=sorted(TRAIN_RECIPES))
     args = ap.parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",")]
+    overrides = TRAIN_RECIPES[args.recipe]
+    tag = "" if args.recipe == "baseline" else f"_{args.recipe}"
+    artifact = (
+        ARTIFACT if args.recipe == "baseline"
+        else ARTIFACT.replace(".json", f"{tag}.json")
+    )
 
     if not os.path.isdir(SCENE_DIR):
         from upnerf.data import synthetic
@@ -288,12 +319,13 @@ def main(argv=None):
     merge_from_file(hp_probe, CONFIG)
     scene_name = hp_probe["scene_name"]
 
-    prior_runs = load_prior_runs(ARTIFACT, args.steps)
+    prior_runs = load_prior_runs(artifact, args.steps)
     results = []
     for seed in seeds:
-        print(f"[tto-protocol] seed {seed} ({args.steps} steps)...")
+        print(f"[tto-protocol] {args.recipe} seed {seed} "
+              f"({args.steps} steps)...")
         if seed in prior_runs and plan_run(
-            os.path.join(OUT_DIR, scene_name, f"tto_seed{seed}"),
+            os.path.join(OUT_DIR, scene_name, f"tto{tag}_seed{seed}"),
             args.steps,
         ) == "fresh":
             # Scratch gone but the committed artifact holds this seed.
@@ -301,10 +333,11 @@ def main(argv=None):
                   "artifact run")
             results.append(dict(prior_runs[seed], reused_from_artifact=True))
         else:
-            results.append(run_one(seed, args.steps))
+            results.append(run_one(seed, args.steps, overrides, tag))
         print(f"[tto-protocol]   -> {results[-1]}")
-        summary = write_summary(ARTIFACT, args.steps, seeds, results, commit)
-        print(f"[tto-protocol] wrote {ARTIFACT} "
+        summary = write_summary(artifact, args.steps, seeds, results, commit,
+                                args.recipe, overrides)
+        print(f"[tto-protocol] wrote {artifact} "
               f"({len(results)}/{len(seeds)} seeds)")
 
     print(json.dumps({k: summary[k] for k in
