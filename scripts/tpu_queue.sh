@@ -63,14 +63,19 @@ on_term() {
     # NB: dash's kill builtin rejects `kill -TERM -- "-pgid"` ("Illegal
     # number") — only the `kill -s SIG -- "-pgid"` form reaches the
     # process group under both dash and bash (VERDICT r4 weak #1).
-    if [ -n "$CURRENT_PGID" ] && kill -0 "$CURRENT_PGID" 2>/dev/null; then
+    if [ -n "$CURRENT_PGID" ] && kill -s 0 -- "-$CURRENT_PGID" 2>/dev/null
+    then
         kill -s TERM -- "-$CURRENT_PGID" 2>/dev/null
         # The Trainer checkpoints between steps on SIGTERM; give it a
         # bounded grace window (a job blocked in a remote compile cannot
         # service the signal until the compile returns — killing it there
-        # loses at most the steps since its last checkpoint).
+        # loses at most the steps since its last checkpoint). Watch the
+        # whole GROUP, not the leader pid: for compound jobs the setsid
+        # leader is a `sh -c` wrapper that dies on TERM instantly, and a
+        # leader-only wait used to SIGKILL the python child mid-checkpoint.
         w=0
-        while kill -0 "$CURRENT_PGID" 2>/dev/null && [ "$w" -lt "$GRACE_S" ]; do
+        while kill -s 0 -- "-$CURRENT_PGID" 2>/dev/null \
+            && [ "$w" -lt "$GRACE_S" ]; do
             sleep 5
             w=$((w + 5))
         done

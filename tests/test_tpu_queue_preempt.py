@@ -105,6 +105,48 @@ def test_preempt_ignores_stale_pidfile(tmp_path):
     assert bench.preempt_tpu_queue(log_dir=str(tmp_path)) is False
 
 
+def test_preempt_compound_job_grace_covers_children(tmp_path):
+    """Compound jobs (`sh -c 'a; b'`) are led by a wrapper sh that dies on
+    TERM instantly; the grace wait must watch the whole GROUP or the
+    python child gets SIGKILLed mid-checkpoint (caught live in round 5:
+    a preempted training run lost 4.6k steps past its last ckpt)."""
+    marker = tmp_path / "checkpointed"
+    ready = tmp_path / "ready"
+    inner = tmp_path / "inner.py"
+    inner.write_text(
+        "import signal, sys, time\n"
+        "def h(s, f):\n"
+        "    time.sleep(3)\n"  # stands in for checkpoint-save latency
+        f"    open({str(marker)!r}, 'w').write('ok')\n"
+        "    sys.exit(0)\n"
+        "signal.signal(signal.SIGTERM, h)\n"
+        f"open({str(ready)!r}, 'w').write('up')\n"
+        "time.sleep(600)\n"
+    )
+    env = dict(os.environ, LOG_DIR=str(tmp_path), POLL_S="1", GRACE_S="20")
+    proc = subprocess.Popen(
+        # `; true` keeps the wrapper sh alive as group leader (a single
+        # command would be exec'd, hiding the leader-death race); -S skips
+        # the (slow) sitecustomize so the handler installs promptly
+        ["sh", QUEUE, "--", "sh", "-c", f"python3 -S {inner}; true"],
+        cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        assert _wait_for(lambda: ready.exists(), timeout=30), \
+            "job never came up"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=40) == 143
+        assert marker.exists(), (
+            "child was killed before finishing its TERM handler — grace "
+            "window did not cover the process group"
+        )
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
 def test_preempt_treats_zombie_queue_as_dead(tmp_path):
     # A queue whose parent never reaped it passes os.kill(pid, 0) but holds
     # no TPU; bench must not wait the full window then SIGKILL a corpse.
