@@ -83,6 +83,12 @@ TRAIN_RECIPES = {
     "multistart": {"pose.warp.mitigate": "multistart"},
     "c2f_multistart": {"pose.c2f": (0.1, 0.8),
                        "pose.warp.mitigate": "multistart"},
+    # Forced collective reset of flagged rows (the collective-warp lever;
+    # scored multistart measured no-op — incumbent wins every comparison
+    # against the co-adapted field, DESIGN.md "Basin-lever A/B"). Extra
+    # event budget so successive detector events can walk ("unzip") the
+    # warped arc.
+    "reset": {"pose.warp.mitigate": "reset", "pose.warp.max_events": 8},
 }
 PASS_GAP_DB = 3.0
 # A seed's TTO quality is bounded by its training-pose basin: in regions

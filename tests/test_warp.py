@@ -261,12 +261,10 @@ class TestMultistart:
 
 
 class TestTrainerWiring:
-    def test_detection_and_mitigation_fire(self, tmp_path):
-        """Force-sensitive detector on a tiny real Trainer run: flags fire,
-        a multistart event executes, logs land, budget is respected."""
+    @staticmethod
+    def _toy_hp(tmp_path):
         from upnerf.config import default
         from upnerf.data import synthetic
-        from upnerf.train.loop import Trainer
 
         scene_dir = str(tmp_path / "scene")
         synthetic.generate_scene(
@@ -306,6 +304,14 @@ class TestTrainerWiring:
             "pose.warp.max_events": 1,
             "pose.warp.cooldown": 1,
         })
+        return hp
+
+    def test_detection_and_mitigation_fire(self, tmp_path):
+        """Force-sensitive detector on a tiny real Trainer run: flags fire,
+        a multistart event executes, logs land, budget is respected."""
+        from upnerf.train.loop import Trainer
+
+        hp = self._toy_hp(tmp_path)
         trainer = Trainer(hp)
         trainer.fit(log_every=10)
         assert trainer._warp is not None
@@ -318,5 +324,33 @@ class TestTrainerWiring:
         rows = [json.loads(l) for l in open(mfile)]
         assert any("train/warp_flagged" in r for r in rows)
         # state stayed trainable after the event
+        losses = [r["loss"] for r in rows if "loss" in r]
+        assert np.isfinite(losses[-1])
+
+    def test_reset_mitigation_zeroes_flagged_rows(self, tmp_path):
+        """mitigate=reset: the event force-adopts base poses for every
+        flagged row (no scoring — the collective-warp lever), zeroes the
+        adopted rows' se3 refinements at event time, and training
+        continues finite."""
+        import json
+
+        from upnerf.train.loop import Trainer
+
+        hp = self._toy_hp(tmp_path)
+        hp.update({
+            "pose.warp.mitigate": "reset",
+            # give poses time to drift off zero before the (hair-trigger)
+            # detector fires so the reset is observable
+            "pose.warp.min_progress": 0.5,
+        })
+        trainer = Trainer(hp)
+        trainer.fit(log_every=10)
+        assert trainer._warp.events == 1, "reset event did not fire"
+
+        mfile = os.path.join(trainer.save_dir, "metrics.jsonl")
+        rows = [json.loads(l) for l in open(mfile)]
+        ev = [r for r in rows if "train/warp_event" in r]
+        # reset adopts EVERY flagged row (multistart may adopt none)
+        assert ev and ev[0]["train/warp_event"] >= 1
         losses = [r["loss"] for r in rows if "loss" in r]
         assert np.isfinite(losses[-1])

@@ -504,23 +504,41 @@ class Trainer:
                 f"{np.nonzero(flags)[0].tolist()} stalled above "
                 f"{self.warp_cfg.ratio}x median loss at step {step}"
             )
-        if self.warp_cfg.mitigate != "multistart" or not self._warp.budget_left:
+        if (self.warp_cfg.mitigate not in ("multistart", "reset")
+                or not self._warp.budget_left):
             return
 
         from . import warp as warp_mod
 
-        if self._warp_scorer is None:
-            self._warp_scorer = warp_mod.make_pose_scorer(
-                self.cfg, self.warp_cfg.score_rays,
-                self.warp_cfg.score_progress,
-            )
-        wh = np.asarray(jax.device_get(self.scene.wh))
         se3_tab = np.asarray(jax.device_get(self.state.pose_params["se3"]))
-        new_tab, adopted = warp_mod.run_multistart(
-            self._warp_scorer, self.state.params, self.scene, se3_tab,
-            flags, wh, self.warp_cfg, self._warp_rng,
-            log=print if self.is_main else (lambda *a, **k: None),
-        )
+        if self.warp_cfg.mitigate == "reset":
+            # Forced collective reset: re-anchor every flagged row to its
+            # BASE pose (se3 refinement = 0). Measured motivation
+            # (DESIGN.md "Basin-lever A/B"): in a real collective warp
+            # the NeRF field co-adapts to the warped poses, so the scored
+            # multistart's incumbent wins every candidate comparison
+            # (cur ~10x below base) and mitigation never fires — scoring
+            # against the model's own field cannot see out of a jointly
+            # warped model+pose basin. The reset does not consult the
+            # field at all; the DINO feature targets (phase 0/1 loss) are
+            # pose-independent anchors that re-align the reset rows, and
+            # successive detector events walk through the warped arc as
+            # its worst offenders surface ("unzipping").
+            new_tab = np.array(se3_tab)
+            new_tab[flags] = 0.0
+            adopted = np.nonzero(flags)[0]
+        else:
+            if self._warp_scorer is None:
+                self._warp_scorer = warp_mod.make_pose_scorer(
+                    self.cfg, self.warp_cfg.score_rays,
+                    self.warp_cfg.score_progress,
+                )
+            wh = np.asarray(jax.device_get(self.scene.wh))
+            new_tab, adopted = warp_mod.run_multistart(
+                self._warp_scorer, self.state.params, self.scene, se3_tab,
+                flags, wh, self.warp_cfg, self._warp_rng,
+                log=print if self.is_main else (lambda *a, **k: None),
+            )
         self._warp.start_cooldown()
         if adopted.size == 0:
             return
@@ -542,7 +560,7 @@ class Trainer:
         )
         if self.is_main:
             print(
-                f"[upnerf] warp multistart adopted new pose(s) for "
+                f"[upnerf] warp {self.warp_cfg.mitigate} adopted new pose(s) for "
                 f"image(s) {adopted.tolist()} at step {step} "
                 f"(event {self._warp.events}/{self.warp_cfg.max_events})"
             )
