@@ -89,6 +89,23 @@ TRAIN_RECIPES = {
     # event budget so successive detector events can walk ("unzip") the
     # warped arc.
     "reset": {"pose.warp.mitigate": "reset", "pose.warp.max_events": 8},
+    # Data-driven rev of the reset lever. The plain `reset` A/B failed for
+    # a measured reason: at default ratio 2.5 the warp signature crosses
+    # threshold only at ~11.7k (1 of ~10 warped images), when the PE
+    # anneal is sharp and the feature phase nearly over — resets can no
+    # longer re-align. The warp_max_ratio audit trail separates the
+    # stalled run from converged ones INSIDE steps 8-11k (777: >= 2.1 vs
+    # 42: <= 1.76), so detect there with ratio 1.9, and pair with the
+    # longer PE anneal so the basin is still wide when resets land.
+    "reset_early": {
+        "pose.c2f": (0.1, 0.8),
+        "pose.warp.mitigate": "reset",
+        "pose.warp.ratio": 1.9,
+        "pose.warp.min_progress": 0.5,
+        "pose.warp.max_progress": 0.75,
+        "pose.warp.max_events": 8,
+        "pose.warp.cooldown": 3,
+    },
 }
 PASS_GAP_DB = 3.0
 # A seed's TTO quality is bounded by its training-pose basin: in regions
