@@ -309,12 +309,18 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=15000)
     ap.add_argument("--recipe", default="baseline",
                     choices=sorted(TRAIN_RECIPES))
+    ap.add_argument("--tag", default="",
+                    help="artifact/exp suffix for schedule variants (e.g. "
+                    "'30k'), so a variant can never clobber the canonical "
+                    "15k artifact of the same recipe")
     args = ap.parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",")]
     overrides = TRAIN_RECIPES[args.recipe]
     tag = "" if args.recipe == "baseline" else f"_{args.recipe}"
+    if args.tag:
+        tag += f"_{args.tag}"
     artifact = (
-        ARTIFACT if args.recipe == "baseline"
+        ARTIFACT if not tag
         else ARTIFACT.replace(".json", f"{tag}.json")
     )
 
