@@ -265,6 +265,13 @@ def write_summary(out: str, steps: int, seeds: list, results: list,
         "pass": bool(converged) and all(r["pass_3db"] for r in converged),
         "seeds_converged": [r["seed"] for r in converged],
         "pass_3db_all": all(r["pass_3db"] for r in results),
+        # The tightened bar (VERDICT r4 #3): EVERY seed trains converged
+        # AND lands within the gap. The 15k protocols honestly fail this
+        # (seed 777's schedule-bound basin, DESIGN.md "Basin-lever A/B");
+        # the recommended c2f@30k recipe meets it.
+        "pass_strict": bool(results)
+        and all(r.get("train_converged") for r in results)
+        and all(r["pass_3db"] for r in results),
         "final_val_psnr": stats("final_val_psnr"),
         "tto_psnr_mean": stats("tto_psnr_mean"),
         "gap_db": stats("gap_db"),
